@@ -1,0 +1,71 @@
+"""Vector math helpers (batched, float32, differentiable).
+
+Replaces the reference's glm usage (reference: hobbyraytracer.h:1-42,
+ray.h). All functions operate on arrays whose last axis is the vector
+dimension, so they vectorize over arbitrary leading batch axes.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+EPS_F32 = jnp.float32(1.1920929e-07)  # FLT_EPSILON
+NEAR_ZERO = 1e-8  # reference: hobbyraytracer.h:34-38 (nearZero, s = 1e-8)
+T_MIN = 1e-3      # reference: main.cpp:45 shadow epsilon
+BIG = 1e30        # stand-in for +INFINITY in closest-hit windows
+
+
+def dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched dot product over the last axis, keepdims dropped."""
+    return jnp.sum(a * b, axis=-1)
+
+
+def length(v: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sqrt(jnp.sum(v * v, axis=-1))
+
+
+def normalize(v: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
+    """glm::normalize. With eps=0 matches glm (NaN on zero vectors)."""
+    n = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    if eps:
+        n = jnp.maximum(n, eps)
+    return v / n
+
+
+def near_zero(v: jnp.ndarray) -> jnp.ndarray:
+    """True where all components are < 1e-8 in magnitude
+    (reference: hobbyraytracer.h:34-38)."""
+    return jnp.all(jnp.abs(v) < NEAR_ZERO, axis=-1)
+
+
+def reflect(i: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """glm::reflect: i - 2*dot(n,i)*n (n assumed unit by caller)."""
+    return i - 2.0 * dot(n, i)[..., None] * n
+
+
+def refract(i: jnp.ndarray, n: jnp.ndarray, eta: jnp.ndarray) -> jnp.ndarray:
+    """glm::refract. i unit incident, n unit normal, eta = n1/n2.
+
+    k = 1 - eta^2 * (1 - dot(n,i)^2); returns 0-vector where k < 0 (TIR).
+    Reference dielectric uses this via material.h:225.
+    """
+    cos_i = dot(n, i)
+    k = 1.0 - eta * eta * (1.0 - cos_i * cos_i)
+    k_safe = jnp.maximum(k, 0.0)
+    out = eta[..., None] * i - (eta * cos_i + jnp.sqrt(k_safe))[..., None] * n
+    return jnp.where((k < 0.0)[..., None], jnp.zeros_like(out), out)
+
+
+def schlick(cosine: jnp.ndarray, ref_idx: jnp.ndarray) -> jnp.ndarray:
+    """Schlick reflectance approximation (reference: material.h:236-241)."""
+    r0 = (1.0 - ref_idx) / (1.0 + ref_idx)
+    r0 = r0 * r0
+    return r0 + (1.0 - r0) * jnp.power(1.0 - cosine, 5.0)
+
+
+def cross(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.cross(a, b)
+
+
+def ray_at(o: jnp.ndarray, d: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """ray::at — o + t*d (reference: ray.h)."""
+    return o + t[..., None] * d

@@ -1,0 +1,63 @@
+"""Counter-based RNG discipline.
+
+The reference uses glm's global stateful RNG (`glm::linearRand`,
+`glm::sphericalRand`, `glm::ballRand` — e.g. main.cpp:120-121,
+material.h:139,81, constantMedium.cpp:25), which is unreproducible across
+threads. TPU-native replacement: explicit `jax.random` threefry keys folded
+by (purpose, bounce); per-ray decorrelation comes from drawing shaped arrays
+indexed by the ray's position in the batch, so a render is a pure function
+of (seed, batch layout). Parity with the reference is therefore statistical
+(allclose at matched spp), per SURVEY.md §2 component #33.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Stable purpose tags so streams never collide across call sites.
+PIXEL_JITTER_U = 0
+PIXEL_JITTER_V = 1
+SCATTER_SPHERE = 2   # unit-sphere offsets (lambertian/metal/dielectric fuzz)
+SCATTER_BALL = 3     # isotropic phase function
+DIELECTRIC_CHOICE = 4
+MEDIUM_FLIGHT = 5
+LENS = 6
+
+
+def stream(key: jax.Array, purpose: int, bounce=0) -> jax.Array:
+    """Derive a sub-key for (purpose, bounce). `bounce` may be traced."""
+    return jax.random.fold_in(jax.random.fold_in(key, purpose), bounce)
+
+
+def uniform(key: jax.Array, shape=()) -> jnp.ndarray:
+    """U[0,1) float32 (glm::linearRand(0,1))."""
+    return jax.random.uniform(key, shape, dtype=jnp.float32)
+
+
+def unit_sphere(key: jax.Array, shape=()) -> jnp.ndarray:
+    """Uniform on the unit sphere surface (glm::sphericalRand(1))."""
+    k1, k2 = jax.random.split(key)
+    z = jax.random.uniform(k1, shape, jnp.float32, -1.0, 1.0)
+    phi = jax.random.uniform(k2, shape, jnp.float32, 0.0, 2.0 * jnp.pi)
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+
+
+def in_ball(key: jax.Array, shape=()) -> jnp.ndarray:
+    """Uniform inside the unit ball (glm::ballRand(1))."""
+    k1, k2 = jax.random.split(key)
+    d = unit_sphere(k1, shape)
+    u = jax.random.uniform(k2, shape, jnp.float32)
+    return d * jnp.cbrt(u)[..., None]
+
+
+def in_disk(key: jax.Array, shape=()) -> jnp.ndarray:
+    """Uniform inside the unit disk (glm::circularRand-style, for the lens).
+
+    The reference computes lensRadius but has defocus disabled
+    (camera.h:34-35); we keep this for the opt-in lens flag.
+    """
+    k1, k2 = jax.random.split(key)
+    r = jnp.sqrt(jax.random.uniform(k1, shape, jnp.float32))
+    phi = jax.random.uniform(k2, shape, jnp.float32, 0.0, 2.0 * jnp.pi)
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi)], axis=-1)
