@@ -1,0 +1,184 @@
+"""Material table + batched scatter/emission kernels.
+
+Replaces the reference's `Material::scatter` virtual dispatch
+(material.h:60-71) with a typed SoA material table and masked per-type
+vectorized sampling. With only ~7 material types, computing every lobe and
+selecting by mask beats sort-by-material on TPU (SURVEY.md §7 hard part 3).
+
+MatVec3/MatScalar (constant-or-texture variants, material.h:10-58) become
+(constant, tex_id) pairs with tex_id == -1 meaning "use the constant".
+All constants here are differentiable leaves for the inverse-rendering path.
+"""
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import mathx, rng
+from ..core.types import Hits, Rays
+from . import texture as tex_ops
+
+MAT_LAMBERTIAN = 0
+MAT_METAL = 1
+MAT_DIELECTRIC = 2
+MAT_DIFFUSE_LIGHT = 3
+MAT_ISOTROPIC = 4
+MAT_PBR = 5
+MAT_UVTEST = 6
+
+
+@flax.struct.dataclass
+class MaterialTable:
+    """M materials; index 0 is a reserved default lambertian 50% grey."""
+    mtype: jnp.ndarray         # (M,) int32
+    albedo: jnp.ndarray        # (M,3)
+    albedo_tex: jnp.ndarray    # (M,) int32, -1 = constant
+    roughness: jnp.ndarray     # (M,)  metal/dielectric roughness
+    roughness_tex: jnp.ndarray # (M,) int32
+    strength: jnp.ndarray      # (M,)  diffuse_light strength
+    strength_tex: jnp.ndarray  # (M,) int32
+    ior: jnp.ndarray           # (M,)  dielectric index of refraction
+    metallness: jnp.ndarray    # (M,)  PBR mix constant
+    metallness_tex: jnp.ndarray  # (M,) int32
+
+
+def build_table(specs) -> MaterialTable:
+    """specs: list of dicts with keys mtype, albedo, albedo_tex, roughness,
+    roughness_tex, strength, strength_tex, ior, metallness, metallness_tex
+    (missing keys get defaults)."""
+    def col(key, default, dtype=np.float32):
+        return jnp.asarray(
+            np.asarray([s.get(key, default) for s in specs], dtype))
+    return MaterialTable(
+        mtype=col("mtype", MAT_LAMBERTIAN, np.int32),
+        albedo=col("albedo", (0.5, 0.5, 0.5)),
+        albedo_tex=col("albedo_tex", -1, np.int32),
+        roughness=col("roughness", 0.0),
+        roughness_tex=col("roughness_tex", -1, np.int32),
+        strength=col("strength", 1.0),
+        strength_tex=col("strength_tex", -1, np.int32),
+        ior=col("ior", 1.5),
+        metallness=col("metallness", 0.0),
+        metallness_tex=col("metallness_tex", -1, np.int32),
+    )
+
+
+def _vec3_value(constant, tex_id, tab, u, v, p):
+    """MatVec3::valueAt — constant unless tex_id >= 0 (material.h:10-35)."""
+    from_tex = tex_ops.colour_value(tab, tex_id, u, v, p)
+    return jnp.where((tex_id >= 0)[..., None], from_tex, constant)
+
+
+def _scalar_value(constant, tex_id, tab, u, v, p):
+    """MatScalar::valueAt — constant or length(texture rgb)
+    (material.h:37-58)."""
+    from_tex = tex_ops.scalar_value(tab, tex_id, u, v, p)
+    return jnp.where(tex_id >= 0, from_tex, constant)
+
+
+def emitted(mats: MaterialTable, tab: tex_ops.TextureTable,
+            hits: Hits) -> jnp.ndarray:
+    """Material::emitted — black except DiffuseLight's albedo*strength
+    (material.h:67-70, 101-104). Returns (N,3)."""
+    mid = jnp.maximum(hits.mat_id, 0)
+    u, v = hits.uv[..., 0], hits.uv[..., 1]
+    alb = _vec3_value(mats.albedo[mid], mats.albedo_tex[mid], tab, u, v,
+                      hits.p)
+    s = _scalar_value(mats.strength[mid], mats.strength_tex[mid], tab, u, v,
+                      hits.p)
+    e = alb * s[..., None]
+    is_light = (mats.mtype[mid] == MAT_DIFFUSE_LIGHT) & hits.hit
+    return jnp.where(is_light[..., None], e, 0.0)
+
+
+def scatter(mats: MaterialTable, tab: tex_ops.TextureTable, rays: Rays,
+            hits: Hits, key: jax.Array, bounce) -> tuple:
+    """Batched Material::scatter over the whole wavefront.
+
+    Returns (did_scatter (N,) bool, attenuation (N,3), new_d (N,3)).
+    The new ray origin is hits.p for every material (reference behavior).
+    Each lobe follows its reference implementation exactly; see per-branch
+    comments. Discrete decisions (absorb, reflect-vs-refract) take gradients
+    through the chosen branch only (stop-gradient on the choice itself).
+    """
+    n = hits.t.shape[0]
+    mid = jnp.maximum(hits.mat_id, 0)
+    mt = mats.mtype[mid]
+    u, v = hits.uv[..., 0], hits.uv[..., 1]
+    p = hits.p
+    nrm = hits.normal
+
+    albedo = _vec3_value(mats.albedo[mid], mats.albedo_tex[mid], tab, u, v, p)
+    rough = _scalar_value(mats.roughness[mid], mats.roughness_tex[mid],
+                          tab, u, v, p)
+
+    # shared random draws (one stream per purpose per bounce)
+    sph = rng.unit_sphere(rng.stream(key, rng.SCATTER_SPHERE, bounce), (n,))
+    ball = rng.in_ball(rng.stream(key, rng.SCATTER_BALL, bounce), (n,))
+    u_choice = rng.uniform(rng.stream(key, rng.DIELECTRIC_CHOICE, bounce),
+                           (n,))
+
+    unit_d = mathx.normalize(rays.d)
+    unit_n = mathx.normalize(nrm, eps=1e-20)
+
+    # --- Lambertian (material.h:132-157): dir = normal + unit_sphere,
+    # near-zero fallback to normal. NOTE the raw (possibly unnormalized)
+    # hit normal is used, as in the reference.
+    lam_dir = nrm + sph
+    lam_dir = jnp.where(mathx.near_zero(lam_dir)[..., None], nrm, lam_dir)
+
+    # --- Metal (material.h:159-182): reflect(unit_d, unit_n) +
+    # clamp(roughness,<=1)*unit_sphere + FLT_EPSILON; absorb when
+    # dot(scattered, unit_n) <= 0.
+    met_rough = jnp.minimum(jnp.abs(rough), 1.0)
+    met_dir = (mathx.reflect(unit_d, unit_n) + met_rough[..., None] * sph
+               + mathx.EPS_F32)
+    met_ok = mathx.dot(met_dir, unit_n) > 0.0
+
+    # --- Dielectric (material.h:199-242): Schlick + stochastic
+    # reflect/refract with rough offset; attenuation (1,1,1). Uses the raw
+    # hit normal (reference passes rec.normal unnormalized).
+    ior = mats.ior[mid]
+    ratio = jnp.where(hits.front_face, 1.0 / ior, ior)
+    cos_t = jnp.minimum(mathx.dot(-unit_d, nrm), 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    cannot = ratio * sin_t > 1.0
+    refl_p = mathx.schlick(cos_t, ratio)  # reference passes refractionRatio
+    choose_reflect = cannot | (refl_p > u_choice)
+    choose_reflect = jax.lax.stop_gradient(choose_reflect)
+    d_reflect = mathx.reflect(unit_d, nrm)
+    d_refract = mathx.refract(unit_d, nrm, ratio)
+    die_dir = (jnp.where(choose_reflect[..., None], d_reflect, d_refract)
+               + rough[..., None] * sph)
+
+    # --- Isotropic (material.h:73-89): uniform-in-ball direction.
+    iso_dir = ball
+
+    # --- PBR (material.cpp:4-27): length(metallness value) > 0.5 -> metal
+    # lobe (roughness), else lambertian; both share albedo.
+    metl = _scalar_value(mats.metallness[mid], mats.metallness_tex[mid],
+                         tab, u, v, p)
+    pbr_is_metal = jnp.abs(metl) > 0.5
+    pbr_dir = jnp.where(pbr_is_metal[..., None], met_dir, lam_dir)
+    pbr_ok = jnp.where(pbr_is_metal, met_ok, True)
+
+    # --- UVTest (material.h:111-130): lambertian scatter, attenuation =
+    # raw normal.
+    # assemble by type
+    new_d = jnp.where((mt == MAT_METAL)[..., None], met_dir,
+            jnp.where((mt == MAT_DIELECTRIC)[..., None], die_dir,
+            jnp.where((mt == MAT_ISOTROPIC)[..., None], iso_dir,
+            jnp.where((mt == MAT_PBR)[..., None], pbr_dir,
+                      lam_dir))))  # lambertian & uvtest
+
+    atten = jnp.where((mt == MAT_DIELECTRIC)[..., None],
+                      jnp.ones((n, 3), jnp.float32),
+            jnp.where((mt == MAT_UVTEST)[..., None], nrm, albedo))
+
+    ok = jnp.where(mt == MAT_METAL, met_ok,
+         jnp.where(mt == MAT_PBR, pbr_ok,
+         jnp.where(mt == MAT_DIFFUSE_LIGHT, False, True)))
+    ok = ok & hits.hit
+    return ok, atten, new_d

@@ -1,0 +1,369 @@
+"""SceneDesc -> device SceneIR + Camera + film config.
+
+The host-side equivalent of the constructor cascade in Scene::loadScene
+(scene.cpp:127-374): decode textures (stb -> our io codecs), build the
+material table, pool/instance geometry, load meshes, then hand one pytree
+to the device. All asset I/O and table building happens here, once; the
+render loop touches only arrays.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any, Dict, List
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import quat as quat_ops
+from ..io import hdr as hdr_io
+from ..io import images as img_io
+from ..ops import shade as shade_ops
+from ..ops import texture as tex_ops
+from ..ops.camera import Camera, make_camera
+from . import ir, objloader
+from .schema import MatValue, SceneDesc, TransformDesc
+
+
+@dataclass
+class RenderJob:
+    scene: ir.SceneIR
+    camera: Camera
+    width: int
+    height: int
+    samples: int
+    output: str
+
+
+class _TextureBuilder:
+    def __init__(self, desc: SceneDesc):
+        self.desc = desc
+        self.specs: List[Dict[str, Any]] = []
+        self.by_name: Dict[str, int] = {}
+        # index 0: reserved solid white
+        self._add({"type": tex_ops.TEX_SOLID, "solid": (1.0, 1.0, 1.0)})
+
+    def _add(self, spec) -> int:
+        self.specs.append(spec)
+        return len(self.specs) - 1
+
+    def _load_image(self, path: str):
+        """ImageTexture ctor (texture.cpp:30-51): 8-bit decode -> fp32/255;
+        failure degrades to no-data (debug cyan at lookup)."""
+        rp = self.desc.resolve_path(path)
+        try:
+            data = img_io.read_image(rp)[:, :, :3].astype(np.float32) / 255.0
+            print(f"Loaded image file: {path}")
+            return data
+        except Exception:
+            print(f"ERROR: Could not load image file: {path}")
+            return None
+
+    def _load_env(self, path: str):
+        """EnvironmentMap ctor (texture.cpp:99-115): float HDR decode."""
+        rp = self.desc.resolve_path(path)
+        try:
+            data = hdr_io.read_hdr(rp).astype(np.float32)
+            print(f"Loaded environment map: {path}")
+            return data
+        except Exception:
+            print(f"ERROR: Could not environment map file: {path}")
+            return None
+
+    def add_named(self, t) -> int:
+        if t.type == "solid":
+            idx = self._add({"type": tex_ops.TEX_SOLID, "solid": t.colour})
+        elif t.type == "checkered":
+            idx = self._add({"type": tex_ops.TEX_CHECKERED, "solid": t.even,
+                             "solid2": t.odd})
+        elif t.type == "image":
+            idx = self._add({"type": tex_ops.TEX_IMAGE,
+                             "image": self._load_image(t.path)})
+        elif t.type == "environment":
+            idx = self._add({"type": tex_ops.TEX_ENVIRONMENT,
+                             "image": self._load_env(t.path)})
+        else:
+            raise ValueError(t.type)
+        self.by_name[t.name] = idx
+        return idx
+
+    def resolve(self, name: str, auto: str = "image") -> int:
+        """Texture by name; unknown names auto-create an ImageTexture
+        (scene.cpp:84-93) or EnvironmentMap for backgrounds
+        (scene.cpp:223-231)."""
+        if name in self.by_name:
+            return self.by_name[name]
+        if auto == "environment":
+            idx = self._add({"type": tex_ops.TEX_ENVIRONMENT,
+                             "image": self._load_env(name)})
+        else:
+            idx = self._add({"type": tex_ops.TEX_IMAGE,
+                             "image": self._load_image(name)})
+        self.by_name[name] = idx
+        return idx
+
+    def solid(self, colour) -> int:
+        return self._add({"type": tex_ops.TEX_SOLID, "solid": colour})
+
+    def table(self) -> tex_ops.TextureTable:
+        return tex_ops.build_table(self.specs)
+
+
+def _mv3(v: MatValue, texb: _TextureBuilder):
+    """MatVec3 -> (constant rgb, tex_id)."""
+    if v is None:
+        return (0.0, 0.0, 0.0), -1
+    if v.texture is not None:
+        return (0.0, 0.0, 0.0), texb.resolve(v.texture)
+    return v.constant, -1
+
+
+def _ms(v: MatValue, texb: _TextureBuilder, default=0.0):
+    """MatScalar -> (constant, tex_id)."""
+    if v is None:
+        return default, -1
+    if v.texture is not None:
+        return 0.0, texb.resolve(v.texture)
+    return float(v.constant), -1
+
+
+_MTYPE = {
+    "lambertian": shade_ops.MAT_LAMBERTIAN,
+    "metal": shade_ops.MAT_METAL,
+    "dielectric": shade_ops.MAT_DIELECTRIC,
+    "diffuse_light": shade_ops.MAT_DIFFUSE_LIGHT,
+    "isotropic": shade_ops.MAT_ISOTROPIC,
+    "pbr": shade_ops.MAT_PBR,
+    "uvtest": shade_ops.MAT_UVTEST,
+}
+
+
+def _transform(t: TransformDesc) -> ir.Transform:
+    rot = (quat_ops.from_euler(jnp.radians(jnp.asarray(t.rotate,
+                                                       jnp.float32)))
+           if t.rotate is not None
+           else jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32))
+    return ir.Transform(
+        translate=jnp.asarray(t.translate or (0.0, 0.0, 0.0), jnp.float32),
+        scale=jnp.asarray(t.scale or (1.0, 1.0, 1.0), jnp.float32),
+        quat=rot,
+    )
+
+
+def build_scene(desc: SceneDesc) -> RenderJob:
+    texb = _TextureBuilder(desc)
+    for t in desc.textures:
+        texb.add_named(t)
+
+    # background: sequence -> solid; name -> texture (auto-EnvironmentMap)
+    if isinstance(desc.background, tuple):
+        bg_id = texb.solid(desc.background)
+    else:
+        bg_id = texb.resolve(desc.background, auto="environment")
+
+    mat_specs: List[Dict[str, Any]] = []
+    mat_by_name: Dict[str, int] = {}
+    # index 0: reserved default (never referenced by valid scenes)
+    mat_specs.append({"mtype": shade_ops.MAT_LAMBERTIAN})
+
+    for m in desc.materials:
+        if m.type not in _MTYPE:
+            # reference if-chains simply never register unknown types
+            print(f"Unknown material type: {m.type}, skipping")
+            continue
+        alb, alb_t = _mv3(m.albedo, texb)
+        rough, rough_t = _ms(m.roughness, texb)
+        stren, stren_t = _ms(m.strength, texb, default=1.0)
+        ior, _ = _ms(m.ior, texb, default=1.5)
+        metl, metl_t = _ms(m.metallness, texb)
+        mat_by_name[m.name] = len(mat_specs)
+        mat_specs.append({
+            "mtype": _MTYPE[m.type], "albedo": alb, "albedo_tex": alb_t,
+            "roughness": rough, "roughness_tex": rough_t,
+            "strength": stren, "strength_tex": stren_t, "ior": ior,
+            "metallness": metl, "metallness_tex": metl_t,
+        })
+
+    pooled_spheres = {"center": [], "radius": [], "mat_id": []}
+    pooled_rects = {"axis": [], "a0": [], "a1": [], "b0": [], "b1": [],
+                    "k": [], "mat_id": []}
+    instances: List[ir.Instance] = []
+    media: List[ir.Medium] = []
+
+    _RECT_AXIS = {"yz_rect": 0, "xz_rect": 1, "xy_rect": 2}
+
+    for o in desc.objects:
+        mat_id = None
+        if o.type != "constant_medium":
+            if o.material not in mat_by_name:
+                # reference: log and skip (scene.cpp:288-289)
+                print(f"Material {o.material} does not exist!")
+                continue
+            mat_id = mat_by_name[o.material]
+        tr = _transform(o.transform) if o.transform else None
+
+        if o.type == "sphere":
+            if tr is None:
+                pooled_spheres["center"].append(o.params["center"])
+                pooled_spheres["radius"].append(o.params["radius"])
+                pooled_spheres["mat_id"].append(mat_id)
+            else:
+                instances.append(ir.Instance(
+                    kind="sphere", transform=tr,
+                    spheres=ir.SphereTable(
+                        center=jnp.asarray([o.params["center"]], jnp.float32),
+                        radius=jnp.asarray([o.params["radius"]], jnp.float32),
+                        mat_id=jnp.asarray([mat_id], jnp.int32))))
+        elif o.type in _RECT_AXIS:
+            row = {"axis": _RECT_AXIS[o.type],
+                   "a0": o.params["a"][0], "a1": o.params["a"][1],
+                   "b0": o.params["b"][0], "b1": o.params["b"][1],
+                   "k": o.params["k"], "mat_id": mat_id}
+            if tr is None:
+                for kk, vv in row.items():
+                    pooled_rects[kk].append(vv)
+            else:
+                instances.append(ir.Instance(
+                    kind="rect", transform=tr,
+                    rects=ir.RectTable(
+                        axis=jnp.asarray([row["axis"]], jnp.int32),
+                        a0=jnp.asarray([row["a0"]], jnp.float32),
+                        a1=jnp.asarray([row["a1"]], jnp.float32),
+                        b0=jnp.asarray([row["b0"]], jnp.float32),
+                        b1=jnp.asarray([row["b1"]], jnp.float32),
+                        k=jnp.asarray([row["k"]], jnp.float32),
+                        mat_id=jnp.asarray([mat_id], jnp.int32))))
+        elif o.type == "box":
+            # Box = 6 axis rects (box.h:27-39), here emitted as rect rows
+            # sharing the box's transform/material.
+            bmin, bmax = o.params["min"], o.params["max"]
+            rows = _box_rects(bmin, bmax, mat_id)
+            if tr is None:
+                for row in rows:
+                    for kk, vv in row.items():
+                        pooled_rects[kk].append(vv)
+            else:
+                instances.append(ir.Instance(
+                    kind="rect", transform=tr,
+                    rects=_rect_table(rows)))
+        elif o.type == "triangle":
+            # standalone triangle (triangle.h:6-19) as a 1-tri mesh using
+            # the correct watertight kernel (SURVEY.md #14: the reference's
+            # standalone Triangle class is broken and unreachable)
+            v = np.asarray([o.params["v0"], o.params["v1"], o.params["v2"]],
+                           np.float32)
+            e1 = v[1] - v[0]
+            e2 = v[2] - v[0]
+            n = np.cross(e1, e2)
+            n = n / max(np.linalg.norm(n), 1e-12)
+            geom = ir.MeshGeom(
+                verts=jnp.asarray(v),
+                normals=jnp.asarray(np.tile(n, (3, 1)), jnp.float32),
+                uvs=jnp.asarray([[0, 0], [1, 0], [1, 1]], jnp.float32),
+                indices=jnp.asarray([[0, 1, 2]], jnp.int32),
+                mat_id=jnp.asarray(mat_id, jnp.int32))
+            instances.append(ir.Instance(kind="mesh", mesh=geom,
+                                         transform=tr))
+        elif o.type == "mesh":
+            path = desc.resolve_path(o.params["path"])
+            try:
+                m = objloader.parse_obj(path)
+            except (OSError, ValueError) as e:
+                # assimp failure logs and the object is skipped
+                # (mesh.cpp:58-61 log-and-continue asset policy)
+                print(f"ERROR: Couldn't load file: {o.params['path']} ({e})")
+                continue
+            print(f"Loaded file: {o.params['path']}")  # mesh.cpp:117
+            geom = ir.MeshGeom(
+                verts=jnp.asarray(m["verts"]),
+                normals=jnp.asarray(m["normals"]),
+                uvs=jnp.asarray(m["uvs"]),
+                indices=jnp.asarray(m["indices"]),
+                mat_id=jnp.asarray(mat_id, jnp.int32))
+            instances.append(ir.Instance(kind="mesh", mesh=geom,
+                                         transform=tr))
+        elif o.type == "constant_medium":
+            alb, alb_t = _mv3(o.params["albedo"], texb)
+            phase_id = len(mat_specs)
+            mat_specs.append({"mtype": shade_ops.MAT_ISOTROPIC,
+                              "albedo": alb, "albedo_tex": alb_t})
+            b = o.params["boundary"]
+            dens = o.params["density"]
+            common = dict(
+                neg_inv_density=jnp.asarray(-1.0 / dens, jnp.float32),
+                mat_id=jnp.asarray(phase_id, jnp.int32), transform=tr)
+            if b["type"] == "sphere":
+                media.append(ir.Medium(
+                    btype="sphere",
+                    center=jnp.asarray(b["center"], jnp.float32),
+                    radius=jnp.asarray(b["radius"], jnp.float32), **common))
+            else:
+                media.append(ir.Medium(
+                    btype="box",
+                    bmin=jnp.asarray(b["min"], jnp.float32),
+                    bmax=jnp.asarray(b["max"], jnp.float32), **common))
+
+    scene = ir.SceneIR(
+        spheres=ir.SphereTable(
+            center=jnp.asarray(np.asarray(pooled_spheres["center"],
+                                          np.float32).reshape(-1, 3)),
+            radius=jnp.asarray(pooled_spheres["radius"], jnp.float32),
+            mat_id=jnp.asarray(pooled_spheres["mat_id"], jnp.int32)),
+        rects=_rect_table_from_pool(pooled_rects),
+        instances=tuple(instances),
+        media=tuple(media),
+        materials=shade_ops.build_table(mat_specs),
+        textures=texb.table(),
+        background_tex=jnp.asarray(bg_id, jnp.int32),
+    )
+    return RenderJob(scene=scene, camera=make_camera(
+        desc.camera["position"], desc.camera["look_at"], desc.camera["up"],
+        desc.camera["fov"], desc.film["width"] / desc.film["height"],
+        desc.camera["aperture"], desc.camera["focal_distance"]),
+        width=desc.film["width"], height=desc.film["height"],
+        samples=desc.film["samples"], output=desc.film["output"])
+
+
+def _box_rects(bmin, bmax, mat_id):
+    """minMaxBox / Box ctor (box.h:11-39): 6 axis-aligned rects."""
+    x0, y0, z0 = bmin
+    x1, y1, z1 = bmax
+    return [
+        # xy rects at z0, z1 (box.h:29-30)
+        {"axis": 2, "a0": x0, "a1": x1, "b0": y0, "b1": y1, "k": z1,
+         "mat_id": mat_id},
+        {"axis": 2, "a0": x0, "a1": x1, "b0": y0, "b1": y1, "k": z0,
+         "mat_id": mat_id},
+        # xz rects at y0, y1
+        {"axis": 1, "a0": x0, "a1": x1, "b0": z0, "b1": z1, "k": y1,
+         "mat_id": mat_id},
+        {"axis": 1, "a0": x0, "a1": x1, "b0": z0, "b1": z1, "k": y0,
+         "mat_id": mat_id},
+        # yz rects at x0, x1
+        {"axis": 0, "a0": y0, "a1": y1, "b0": z0, "b1": z1, "k": x1,
+         "mat_id": mat_id},
+        {"axis": 0, "a0": y0, "a1": y1, "b0": z0, "b1": z1, "k": x0,
+         "mat_id": mat_id},
+    ]
+
+
+def _rect_table(rows) -> ir.RectTable:
+    return ir.RectTable(
+        axis=jnp.asarray([r["axis"] for r in rows], jnp.int32),
+        a0=jnp.asarray([r["a0"] for r in rows], jnp.float32),
+        a1=jnp.asarray([r["a1"] for r in rows], jnp.float32),
+        b0=jnp.asarray([r["b0"] for r in rows], jnp.float32),
+        b1=jnp.asarray([r["b1"] for r in rows], jnp.float32),
+        k=jnp.asarray([r["k"] for r in rows], jnp.float32),
+        mat_id=jnp.asarray([r["mat_id"] for r in rows], jnp.int32))
+
+
+def _rect_table_from_pool(pool) -> ir.RectTable:
+    return ir.RectTable(
+        axis=jnp.asarray(np.asarray(pool["axis"], np.int32)),
+        a0=jnp.asarray(np.asarray(pool["a0"], np.float32)),
+        a1=jnp.asarray(np.asarray(pool["a1"], np.float32)),
+        b0=jnp.asarray(np.asarray(pool["b0"], np.float32)),
+        b1=jnp.asarray(np.asarray(pool["b1"], np.float32)),
+        k=jnp.asarray(np.asarray(pool["k"], np.float32)),
+        mat_id=jnp.asarray(np.asarray(pool["mat_id"], np.int32)))

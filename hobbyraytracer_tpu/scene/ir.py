@@ -1,0 +1,248 @@
+"""Device-side scene IR + world intersection.
+
+The reference's scene is a vector of polymorphic Hittables scanned linearly
+(HittableList, hittableList.cpp:4-21; built by Scene::loadScene,
+scene.cpp:272-359). Here the scene is a pytree of flat SoA tables:
+
+- all untransformed spheres/rects are pooled into single batched tables;
+- each transformed object (and each mesh) is an `Instance` with a TRS
+  transform applied to rays on entry and hits on exit (replacing the
+  Translate/Scale/RotateQuat wrapper chain, translate.cpp / scale.cpp /
+  rotateQuat.cpp);
+- constant media are resolved after solids using the solid closest-t as
+  their max window (the reference's order-dependent shrinking t_max,
+  constantMedium.cpp:4-38).
+
+Transform parameterization divergence (fix-and-document, SURVEY.md §7):
+RotateQuat re-normalizes the rotated ray direction (rotateQuat.cpp:51),
+silently rescaling the reported t for non-unit directions; Scale keeps t in
+scaled units. We keep t in WORLD units everywhere (o' = q^-1((o-T)/S),
+d' = q^-1(d/S) preserves the parameter), so closest-hit comparisons between
+transformed and untransformed objects are consistent.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ..core import mathx, quat, rng
+from ..core.mathx import BIG
+from ..core.types import Hits, Rays, closer, set_face_normal
+from ..ops import intersect as isect
+from ..ops.shade import MaterialTable
+from ..ops.texture import TextureTable
+
+
+@flax.struct.dataclass
+class Transform:
+    """TRS instance transform. World = translate + scale * rotate(obj)
+    (the reference wraps Translate(Scale(RotateQuat(obj))),
+    scene.cpp:334-354)."""
+    translate: jnp.ndarray  # (3,)
+    scale: jnp.ndarray      # (3,)
+    quat: jnp.ndarray       # (4,) [w,x,y,z]
+
+    def ray_to_object(self, rays: Rays) -> Rays:
+        o = (rays.o - self.translate) / self.scale
+        d = rays.d / self.scale
+        return Rays(o=quat.inverse_rotate(self.quat, o),
+                    d=quat.inverse_rotate(self.quat, d))
+
+    def point_to_world(self, p: jnp.ndarray) -> jnp.ndarray:
+        return self.scale * quat.rotate(self.quat, p) + self.translate
+
+    def normal_to_world(self, n: jnp.ndarray) -> jnp.ndarray:
+        # The reference only rotates normals (rotateQuat.cpp:61); Scale does
+        # NOT rescale them (scale.cpp:24) — correct for uniform scale, and
+        # we keep the same behavior so normal magnitudes (which feed the
+        # unnormalized lambertian scatter) match.
+        return quat.rotate(self.quat, n)
+
+
+@flax.struct.dataclass
+class SphereTable:
+    center: jnp.ndarray  # (S,3)
+    radius: jnp.ndarray  # (S,)
+    mat_id: jnp.ndarray  # (S,)
+
+    @property
+    def empty(self):
+        return self.center.shape[0] == 0
+
+
+@flax.struct.dataclass
+class RectTable:
+    axis: jnp.ndarray  # (Q,) int32 normal axis 0/1/2
+    a0: jnp.ndarray
+    a1: jnp.ndarray
+    b0: jnp.ndarray
+    b1: jnp.ndarray
+    k: jnp.ndarray
+    mat_id: jnp.ndarray
+
+    @property
+    def empty(self):
+        return self.axis.shape[0] == 0
+
+
+@flax.struct.dataclass
+class MeshGeom:
+    """Triangle soup for one mesh: flat vertex/normal/uv arrays + index
+    triples (reference: Mesh/assimpLoadFile, mesh.cpp:53-120). The vertex
+    array is a differentiable leaf for vertex-position gradients."""
+    verts: jnp.ndarray    # (V,3)
+    normals: jnp.ndarray  # (V,3)
+    uvs: jnp.ndarray      # (V,2)
+    indices: jnp.ndarray  # (T,3) int32
+    mat_id: jnp.ndarray   # () int32 — whole mesh shares one material
+
+
+@flax.struct.dataclass
+class Instance:
+    """One transformed object: a geometry payload + optional Transform.
+    kind is static so the intersect dispatch unrolls at trace time."""
+    kind: str = flax.struct.field(pytree_node=False)  # sphere|rect|mesh
+    spheres: Optional[SphereTable] = None
+    rects: Optional[RectTable] = None
+    mesh: Optional[MeshGeom] = None
+    transform: Optional[Transform] = None
+
+
+@flax.struct.dataclass
+class Medium:
+    """Constant-density medium (reference: constantMedium.h/.cpp). Boundary
+    restricted to convex closed forms (sphere | axis-aligned box); the
+    reference's YAML grammar exposes no medium at all (SURVEY.md §2.2), so
+    this is the documented schema extension."""
+    btype: str = flax.struct.field(pytree_node=False)  # 'sphere' | 'box'
+    center: jnp.ndarray = None   # (3,) sphere
+    radius: jnp.ndarray = None   # ()   sphere
+    bmin: jnp.ndarray = None     # (3,) box
+    bmax: jnp.ndarray = None     # (3,) box
+    neg_inv_density: jnp.ndarray = None  # () = -1/density
+    mat_id: jnp.ndarray = None   # () phase-function material (isotropic)
+    transform: Optional[Transform] = None
+
+
+@flax.struct.dataclass
+class SceneIR:
+    spheres: SphereTable
+    rects: RectTable
+    instances: Tuple[Instance, ...]
+    media: Tuple[Medium, ...]
+    materials: MaterialTable
+    textures: TextureTable
+    background_tex: jnp.ndarray  # () int32 texture id
+
+
+# ------------------------------------------------------------ intersection
+
+def _intersect_instance(inst: Instance, rays: Rays, t_min) -> Hits:
+    r = inst.transform.ray_to_object(rays) if inst.transform else rays
+    if inst.kind == "sphere":
+        h = isect.intersect_spheres(r, inst.spheres.center,
+                                    inst.spheres.radius, inst.spheres.mat_id,
+                                    t_min, BIG)
+    elif inst.kind == "rect":
+        rt = inst.rects
+        h = isect.intersect_rects(r, rt.axis, rt.a0, rt.a1, rt.b0, rt.b1,
+                                  rt.k, rt.mat_id, t_min, BIG)
+    elif inst.kind == "mesh":
+        m = inst.mesh
+        h = isect.intersect_triangles(r, m.verts, m.normals, m.uvs,
+                                      m.indices, m.mat_id, BIG)
+    else:
+        raise ValueError(inst.kind)
+    if inst.transform is not None:
+        p = inst.transform.point_to_world(h.p)
+        nrm = inst.transform.normal_to_world(h.normal)
+        # the wrapper chain ends with setFaceNormal against the incoming ray
+        # (translate.cpp:16); net effect for positive uniform scale.
+        nrm, front = set_face_normal(rays.d, nrm)
+        h = h.replace(p=p, normal=nrm, front_face=front)
+    return h
+
+
+def _medium_span(med: Medium, r: Rays):
+    """Entry/exit parameters of the boundary along the ray (world t units).
+    Returns (t_enter, t_exit, valid)."""
+    if med.btype == "sphere":
+        oc = r.o - med.center
+        a = jnp.sum(r.d * r.d, axis=-1)
+        half_b = jnp.sum(oc * r.d, axis=-1)
+        c = jnp.sum(oc * oc, axis=-1) - med.radius * med.radius
+        disc = half_b * half_b - a * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        return (-half_b - sq) / a, (-half_b + sq) / a, disc > 0.0
+    elif med.btype == "box":
+        inv = 1.0 / r.d
+        t0 = (med.bmin - r.o) * inv
+        t1 = (med.bmax - r.o) * inv
+        lo = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        hi = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        return lo, hi, hi > lo
+    raise ValueError(med.btype)
+
+
+def _intersect_medium(med: Medium, rays: Rays, key, bounce, med_index: int,
+                      t_min, t_max) -> Hits:
+    """ConstantMedium::hit vectorized (constantMedium.cpp:4-38):
+    two boundary hits -> clamp to [t_min, t_max] -> exponential free-flight
+    -> scatter point if within the span."""
+    r = med.transform.ray_to_object(rays) if med.transform else rays
+    t1, t2, valid = _medium_span(med, r)
+    # reference: second hit searched from t1+1e-4 (constantMedium.cpp:11)
+    valid &= t2 > t1 + 1e-4
+    t1 = jnp.maximum(t1, t_min)   # clamp (constantMedium.cpp:14-21)
+    t2 = jnp.minimum(t2, t_max)
+    valid &= t1 < t2
+    ray_len = mathx.length(rays.d)  # world-units parameterization
+    dist_inside = (t2 - t1) * ray_len
+    u = rng.uniform(rng.stream(key, rng.MEDIUM_FLIGHT,
+                               bounce * 131 + med_index), t1.shape)
+    hit_dist = med.neg_inv_density * jnp.log(jnp.maximum(u, 1e-37))
+    valid &= hit_dist <= dist_inside
+    t = t1 + hit_dist / ray_len
+    n = rays.o.shape[0]
+    p = rays.at(jnp.where(valid, t, 1.0))
+    return Hits(
+        hit=valid,
+        t=jnp.where(valid, t, BIG),
+        p=p,
+        normal=jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (n, 3)),
+        front_face=jnp.ones((n,), jnp.bool_),
+        uv=jnp.zeros((n, 2), jnp.float32),
+        mat_id=jnp.where(valid, med.mat_id, -1),
+    )
+
+
+def intersect_scene(scene: SceneIR, rays: Rays, key, bounce,
+                    t_min=mathx.T_MIN) -> Hits:
+    """Closest hit against the whole scene (vectorized HittableList::hit).
+
+    Solids are evaluated independently and min-merged (equivalent to the
+    reference's sequential shrinking-t_max scan); media are evaluated last
+    with t_max = closest solid t, matching the reference when media appear
+    after their occluders in the object list (documented divergence: the
+    reference is YAML-order-dependent here).
+    """
+    n = rays.o.shape[0]
+    best = Hits.none(n)
+    if not scene.spheres.empty:
+        best = closer(best, isect.intersect_spheres(
+            rays, scene.spheres.center, scene.spheres.radius,
+            scene.spheres.mat_id, t_min, BIG))
+    if not scene.rects.empty:
+        rt = scene.rects
+        best = closer(best, isect.intersect_rects(
+            rays, rt.axis, rt.a0, rt.a1, rt.b0, rt.b1, rt.k, rt.mat_id,
+            t_min, BIG))
+    for inst in scene.instances:
+        best = closer(best, _intersect_instance(inst, rays, t_min))
+    for i, med in enumerate(scene.media):
+        best = closer(best, _intersect_medium(med, rays, key, bounce, i,
+                                              t_min, best.t))
+    return best
