@@ -1,0 +1,70 @@
+"""Benchmark driver: renders the reference's headline workload and prints
+ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.md): the reference C++ tracer renders Utah-Teapot
+640x640 @ 100spp in ~150s on a 12-thread CPU => ~273k primary rays/s.
+This bench renders the same workload shape (teapot-class mesh in a box,
+640x640 @ 100spp) on one TPU chip and reports primary rays/s.
+
+Run: python bench.py            (uses the available backend: TPU if present)
+     BENCH_SCENE=cornell python bench.py
+     BENCH_SPP=20 python bench.py   (shorter smoke run)
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASELINE_PRIMARY_RAYS_PER_S = 273_000.0
+
+
+def main() -> int:
+    import jax
+
+    from hobbyraytracer_tpu.integrator import path as path_mod
+    from hobbyraytracer_tpu.scene import build_scene, load_scene_desc
+    from hobbyraytracer_tpu.scene.fixtures import ensure_assets
+
+    ensure_assets()
+    here = os.path.dirname(os.path.abspath(__file__))
+    which = os.environ.get("BENCH_SCENE", "teapot")
+    scene_file = {
+        "teapot": "teapot_scene.yaml",
+        "cornell": "cornell_box.yaml",
+        "balls": "scattered_balls.yaml",
+    }.get(which, "teapot_scene.yaml")
+    width = height = int(os.environ.get("BENCH_SIZE", "640"))
+    samples = int(os.environ.get("BENCH_SPP", "100"))
+
+    job = build_scene(load_scene_desc(os.path.join(here, "scenes",
+                                                   scene_file)))
+    key = jax.random.PRNGKey(0)
+    chunk = max(1, min(samples, 2_000_000 // (width * height)))
+
+    # warmup / compile (excluded from the timing, like the reference's
+    # load-vs-render split in main.cpp:164-192)
+    img = path_mod.render_image(job.scene, job.camera, width, height,
+                                min(chunk, samples), key,
+                                sample_chunk=chunk)
+    img.block_until_ready()
+
+    t0 = time.time()
+    img = path_mod.render_image(job.scene, job.camera, width, height,
+                                samples, key, sample_chunk=chunk)
+    img.block_until_ready()
+    dt = time.time() - t0
+
+    rays_per_s = width * height * samples / dt
+    print(json.dumps({
+        "metric": f"primary_rays_per_s_{which}_{width}x{height}@{samples}spp",
+        "value": round(rays_per_s),
+        "unit": "rays/s/chip",
+        "vs_baseline": round(rays_per_s / BASELINE_PRIMARY_RAYS_PER_S, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,172 @@
+"""CLI entry point (reference: main.cpp:142-195).
+
+`python -m hobbyraytracer_tpu.cli.main render [scene.yaml]` mirrors the
+reference binary: positional scene path defaulting to teapot_scene.yaml,
+H:M:S load/total timing lines ("Loaded scene: ...! (completed in H:M:S)" /
+"Done! (completed in H:M:S)"), exit -1 on load failure, and the film's
+output-extension dispatch. Extensions: `fit` (differentiable material fit)
+and `bench` (rays/s meter) subcommands, plus flags for spp / size / depth /
+device selection that the reference hardcodes.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def _hms(seconds: float) -> str:
+    h = int(seconds // 3600)
+    m = int((seconds - h * 3600) // 60)
+    s = seconds - h * 3600 - m * 60
+    return f"{h}:{m}:{s:g}"
+
+
+def _progress(done: int, total: int) -> None:
+    print(f"\rPixels rendered: {done}/{total}", end="", flush=True)
+
+
+def cmd_render(args) -> int:
+    t_start = time.time()
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from ..integrator import path as path_mod
+    from ..ops import film as film_ops
+    from ..scene import build_scene, load_scene_desc
+    from ..scene.schema import SceneError
+
+    try:
+        job = build_scene(load_scene_desc(args.scene))
+    except SceneError as e:
+        print(e)
+        return -1
+
+    width = args.width or job.width
+    height = args.height or job.height
+    samples = args.spp or job.samples
+    output = args.output or job.output
+
+    print(f"\nLoaded scene: {args.scene}! (completed in "
+          f"{_hms(time.time() - t_start)})")
+
+    key = jax.random.PRNGKey(args.seed)
+    chunk = args.chunk
+    if chunk <= 0:
+        # bound device memory: target <= ~2M rays in flight
+        chunk = max(1, min(samples, (2_000_000 // max(1, width * height))))
+
+    total_px = width * height
+    img = path_mod.render_image(job.scene, job.camera, width, height,
+                                samples, key, max_depth=args.max_depth,
+                                sample_chunk=chunk)
+    import numpy as np
+    img = np.asarray(img)
+    _progress(total_px, total_px)
+    print()
+
+    rc = film_ops.output_film(film_ops.quantize(img), output)
+
+    dt = time.time() - t_start
+    print(f"\nDone! (completed in {_hms(dt)})")
+    rays = width * height * samples
+    print(f"[{rays / max(dt, 1e-9):,.0f} primary rays/s "
+          f"({width}x{height} @ {samples}spp in {dt:.1f}s)]")
+    return rc
+
+
+def cmd_fit(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from ..diff.fit import fit_materials, render_linear, select_params
+    from ..scene import build_scene, load_scene_desc
+    from ..scene.schema import SceneError
+
+    try:
+        job = build_scene(load_scene_desc(args.scene))
+    except SceneError as e:
+        print(e)
+        return -1
+
+    w = args.width or max(16, job.width // 8)
+    h = args.height or max(16, job.height // 8)
+    key = jax.random.PRNGKey(args.seed)
+
+    # target: render the scene as-authored (ground truth), then perturb
+    # the fit parameters and recover them; same key as the fit renders
+    # (correlated sampling)
+    target = render_linear(job.scene, job.camera, w, h, key, args.spp,
+                           args.max_depth)
+    params, rebuild = select_params(job.scene)
+    perturbed = job.scene.replace(materials=job.scene.materials.replace(
+        albedo=jnp.clip(job.scene.materials.albedo * 0.3 + 0.3, 0, 1),
+        roughness=jnp.clip(job.scene.materials.roughness + 0.4, 0, 1)))
+
+    res = fit_materials(perturbed, job.camera, target, w, h,
+                        steps=args.steps, n_samples=args.spp,
+                        max_depth=args.max_depth, key=key)
+    print(f"final loss: {float(res.losses[-1]):.6f} "
+          f"(start {float(res.losses[0]):.6f})")
+    return 0 if res.losses[-1] < res.losses[0] else 1
+
+
+def cmd_bench(args) -> int:
+    import runpy
+    sys.argv = ["bench.py"]
+    runpy.run_path(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "bench.py"),
+        run_name="__main__")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="hobbyraytracer_tpu")
+    sub = p.add_subparsers(dest="cmd")
+
+    def common(sp):
+        sp.add_argument("scene", nargs="?", default="teapot_scene.yaml")
+        sp.add_argument("-o", "--output", default=None)
+        sp.add_argument("--spp", type=int, default=None)
+        sp.add_argument("--width", type=int, default=None)
+        sp.add_argument("--height", type=int, default=None)
+        sp.add_argument("--max-depth", type=int, default=50)
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--chunk", type=int, default=0,
+                        help="samples per device batch (0 = auto)")
+        sp.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend")
+
+    sp = sub.add_parser("render", help="render a YAML scene")
+    common(sp)
+    sp.set_defaults(fn=cmd_render)
+
+    sp = sub.add_parser("fit", help="differentiable material fit demo")
+    common(sp)
+    sp.add_argument("--steps", type=int, default=30)
+    sp.set_defaults(fn=cmd_fit, spp=4, max_depth=6)
+
+    sp = sub.add_parser("bench", help="run the benchmark")
+    sp.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # bare `prog scene.yaml` mirrors the reference binary: treat the first
+    # token as a scene path for `render` (main.cpp:146-151)
+    if not argv or argv[0] not in ("render", "fit", "bench", "-h",
+                                   "--help"):
+        argv = ["render"] + argv
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -6,6 +6,7 @@ dimension, so they vectorize over arbitrary leading batch axes.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 EPS_F32 = jnp.float32(1.1920929e-07)  # FLT_EPSILON
@@ -50,7 +51,9 @@ def refract(i: jnp.ndarray, n: jnp.ndarray, eta: jnp.ndarray) -> jnp.ndarray:
     """
     cos_i = dot(n, i)
     k = 1.0 - eta * eta * (1.0 - cos_i * cos_i)
-    k_safe = jnp.maximum(k, 0.0)
+    # safe-where: sqrt(0) has an infinite derivative; substitute 1 in the
+    # TIR branch so the masked-out lane can't poison gradients with inf*0
+    k_safe = jnp.where(k > 0.0, k, 1.0)
     out = eta[..., None] * i - (eta * cos_i + jnp.sqrt(k_safe))[..., None] * n
     return jnp.where((k < 0.0)[..., None], jnp.zeros_like(out), out)
 
@@ -60,6 +63,22 @@ def schlick(cosine: jnp.ndarray, ref_idx: jnp.ndarray) -> jnp.ndarray:
     r0 = (1.0 - ref_idx) / (1.0 + ref_idx)
     r0 = r0 * r0
     return r0 + (1.0 - r0) * jnp.power(1.0 - cosine, 5.0)
+
+
+@jax.custom_jvp
+def safe_arccos(x: jnp.ndarray) -> jnp.ndarray:
+    """arccos with an exact forward value but a clamped derivative: the true
+    derivative is infinite at +-1, which poisons gradient accumulations
+    with inf*0=NaN at sphere poles / straight-up env lookups."""
+    return jnp.arccos(jnp.clip(x, -1.0, 1.0))
+
+
+@safe_arccos.defjvp
+def _safe_arccos_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    y = safe_arccos(x)
+    dydx = -1.0 / jnp.sqrt(jnp.maximum(1.0 - x * x, 1e-12))
+    return y, dydx * dx
 
 
 def cross(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

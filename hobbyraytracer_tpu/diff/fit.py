@@ -1,0 +1,149 @@
+"""Inverse rendering: differentiable material / vertex fitting.
+
+The reference has no autodiff — this subsystem is the new framework's
+extension target (BASELINE.json north star: pipeline differentiable w.r.t.
+material albedo/roughness/IOR and vertex positions; config 5 is a
+differentiable material fit on the shiny_teapot scene).
+
+Design: the scene pytree IS the parameter vector. `select_params` splits a
+SceneIR into (params, static) where params holds the differentiable leaves
+(material table floats, optionally mesh vertices); `render_loss` rebuilds
+the scene and renders with the scan-based differentiable integrator;
+`fit_materials` runs optax.adam on top. Gradients flow through shading
+chains via differentiable path replay (discrete path decisions are
+stop-gradiented, integrator/path.py:trace_diff).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.types import Rays
+from ..integrator import path as path_mod
+from ..scene import ir as scene_ir
+
+# material-table leaves that are fit targets
+MAT_FIELDS = ("albedo", "roughness", "strength", "ior", "metallness")
+
+
+def select_params(scene: scene_ir.SceneIR, fit_vertices: bool = False):
+    """-> (params dict, rebuild fn). params: {"materials": {...},
+    "verts": [v_i...]} — a plain pytree suitable for optax."""
+    params = {"materials": {f: getattr(scene.materials, f)
+                            for f in MAT_FIELDS}}
+    if fit_vertices:
+        params["verts"] = [inst.mesh.verts for inst in scene.instances
+                           if inst.kind == "mesh"]
+
+    def rebuild(p) -> scene_ir.SceneIR:
+        mats = scene.materials.replace(**p["materials"])
+        instances = scene.instances
+        if fit_vertices:
+            vi = 0
+            new_instances = []
+            for inst in instances:
+                if inst.kind == "mesh":
+                    new_instances.append(inst.replace(
+                        mesh=inst.mesh.replace(verts=p["verts"][vi])))
+                    vi += 1
+                else:
+                    new_instances.append(inst)
+            instances = tuple(new_instances)
+        return scene.replace(materials=mats, instances=instances)
+
+    return params, rebuild
+
+
+def render_linear(scene: scene_ir.SceneIR, camera, width: int, height: int,
+                  key, n_samples: int, max_depth: int = 6) -> jnp.ndarray:
+    """Linear-radiance render (pre-tonemap) with the differentiable
+    integrator. Returns (W*H, 3)."""
+    x, y = path_mod.pixel_grid(width, height)
+
+    def one_sample(s, acc):
+        k = jax.random.fold_in(key, s)
+        ku, kv, kt = jax.random.split(k, 3)
+        ju = jax.random.uniform(ku, x.shape, jnp.float32)
+        jv = jax.random.uniform(kv, y.shape, jnp.float32)
+        u = (x + ju) / (width - 1)
+        v = (y + jv) / (height - 1)
+        from ..ops.camera import get_rays
+        rays = get_rays(camera, u, v, key=kt)
+        return acc + path_mod.trace_diff(scene, rays, kt, max_depth)
+
+    acc = jnp.zeros((width * height, 3), jnp.float32)
+    # fori_loop is fine for reverse-mode when the body is scan-free?? No:
+    # keep a static python loop over samples (n_samples is small for fits)
+    for s in range(n_samples):
+        acc = one_sample(s, acc)
+    return acc / jnp.float32(n_samples)
+
+
+def render_loss(params, rebuild, camera, width, height, key, n_samples,
+                target, max_depth: int = 6, tonemapped: bool = True):
+    """L2 image loss against `target` ((W*H,3) linear or tonemapped)."""
+    scene = rebuild(params)
+    img = render_linear(scene, camera, width, height, key, n_samples,
+                        max_depth)
+    if tonemapped:
+        from ..ops import film
+        img = film.tonemap(img, grad_eps=1e-6)
+        target = film.tonemap(target, grad_eps=1e-6)
+    return jnp.mean((img - target) ** 2)
+
+
+class FitResult(NamedTuple):
+    scene: scene_ir.SceneIR
+    losses: jnp.ndarray
+    params: dict
+
+
+def fit_materials(scene: scene_ir.SceneIR, camera, target, width, height,
+                  steps: int = 50, lr: float = 2e-2, n_samples: int = 4,
+                  max_depth: int = 6, key=None, fit_vertices: bool = False,
+                  verbose: bool = True,
+                  correlated: bool = True) -> FitResult:
+    """Adam fit of material parameters (and optionally mesh vertices) to a
+    target image. target: (W*H, 3) linear radiance.
+
+    `correlated=True` (default) reuses ONE key for every step — when the
+    target was rendered with the same key/spp, the Monte Carlo noise
+    cancels between render and target and the optimum is exact (standard
+    correlated-sampling trick for inverse path tracing). Set False for
+    independent per-step noise (real captured targets)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    params, rebuild = select_params(scene, fit_vertices)
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, k):
+        loss, grads = jax.value_and_grad(render_loss)(
+            params, rebuild, camera, width, height, k, n_samples, target,
+            max_depth)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        # keep physical ranges
+        params["materials"]["albedo"] = jnp.clip(
+            params["materials"]["albedo"], 0.0, 1.0)
+        params["materials"]["roughness"] = jnp.clip(
+            params["materials"]["roughness"], 0.0, 1.0)
+        params["materials"]["ior"] = jnp.clip(
+            params["materials"]["ior"], 1.0, 3.0)
+        params["materials"]["strength"] = jnp.maximum(
+            params["materials"]["strength"], 0.0)
+        return params, opt_state, loss
+
+    losses = []
+    for i in range(steps):
+        params, opt_state, loss = step(
+            params, opt_state,
+            key if correlated else jax.random.fold_in(key, i))
+        losses.append(float(loss))
+        if verbose and (i % max(1, steps // 10) == 0 or i == steps - 1):
+            print(f"fit step {i}: loss {losses[-1]:.6f}")
+    return FitResult(scene=rebuild(params), losses=jnp.asarray(losses),
+                     params=params)

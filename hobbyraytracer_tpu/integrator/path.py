@@ -35,7 +35,7 @@ def background_colour(scene: scene_ir.SceneIR, d: jnp.ndarray) -> jnp.ndarray:
     ignore uv)."""
     nd = mathx.normalize(d)
     phi = jnp.arctan2(nd[..., 2], nd[..., 0])
-    theta = jnp.arccos(jnp.clip(nd[..., 1], -1.0, 1.0))
+    theta = mathx.safe_arccos(nd[..., 1])  # exact value, bounded derivative
     u = phi / (2.0 * jnp.pi) + 0.5
     v = theta / jnp.pi
     tex_id = jnp.broadcast_to(scene.background_tex, u.shape)
@@ -80,6 +80,50 @@ def trace(scene: scene_ir.SceneIR, rays: Rays, key: jax.Array,
             jnp.zeros((n, 3), jnp.float32), jnp.ones((n, 3), jnp.float32),
             jnp.ones((n,), jnp.bool_))
     _, _, _, result, _, _ = jax.lax.while_loop(cond, body, init)
+    return result
+
+
+def trace_diff(scene: scene_ir.SceneIR, rays: Rays, key: jax.Array,
+               max_depth: int = 8) -> jnp.ndarray:
+    """Differentiable variant of `trace` for the inverse-rendering path.
+
+    `lax.while_loop` has no reverse-mode derivative, so the bounce loop runs
+    as a fixed-length `lax.scan` (no early exit; masked lanes do dead work).
+    Use a smaller max_depth than the forward path's 50 — gradient fitting
+    converges fine at ~4-8 bounces. Radiance math is identical to `trace`;
+    discrete decisions (hit ids, reflect/refract, absorb) are
+    stop-gradiented so gradients flow through the sampled path's shading
+    chain ("differentiable path replay").
+    """
+    n = rays.o.shape[0]
+
+    def body(state, bounce):
+        o, d, result, throughput, active = state
+        r = Rays(o=o, d=d)
+        hits = scene_ir.intersect_scene(scene, r, key, bounce)
+
+        miss = active & ~hits.hit
+        bg = background_colour(scene, d)
+        result = result + jnp.where(miss[..., None], throughput * bg, 0.0)
+
+        emit = shade_ops.emitted(scene.materials, scene.textures, hits)
+        hit_active = active & hits.hit
+        result = result + jnp.where(hit_active[..., None],
+                                    throughput * emit, 0.0)
+
+        ok, atten, new_d = shade_ops.scatter(scene.materials, scene.textures,
+                                             r, hits, key, bounce)
+        cont = hit_active & ok
+        throughput = jnp.where(cont[..., None], throughput * atten,
+                               throughput)
+        o = jnp.where(cont[..., None], hits.p, o)
+        d = jnp.where(cont[..., None], new_d, d)
+        return (o, d, result, throughput, cont), None
+
+    init = (rays.o, rays.d, jnp.zeros((n, 3), jnp.float32),
+            jnp.ones((n, 3), jnp.float32), jnp.ones((n,), jnp.bool_))
+    (_, _, result, _, _), _ = jax.lax.scan(
+        body, init, jnp.arange(max_depth, dtype=jnp.int32))
     return result
 
 

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def tonemap(colour: jnp.ndarray) -> jnp.ndarray:
+def tonemap(colour: jnp.ndarray, grad_eps: float = 0.0) -> jnp.ndarray:
     """NaN scrub + ACES fit + clamp + gamma (film.cpp:32-52).
 
     - NaN -> 0 (film.cpp:35-37)
@@ -22,12 +22,16 @@ def tonemap(colour: jnp.ndarray) -> jnp.ndarray:
     radiance becomes NaN via inf/inf inside the ACES ratio. We scrub +inf to
     a large finite value (ACES(1e4) ~= its asymptote a/c, clamps to 1) and
     -inf to 0.
+
+    `grad_eps`: the derivative of sqrt is infinite at 0, which NaN-poisons
+    loss gradients at pure-black pixels; the differentiable fit path passes
+    a tiny epsilon (forward change is far below quantization).
     """
     c = jnp.nan_to_num(colour, nan=0.0, posinf=1e4, neginf=0.0)
     a, b, cc, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
     c = (c * (a * c + b)) / (c * (cc * c + d) + e)
     c = jnp.clip(c, 0.0, 1.0)
-    return jnp.sqrt(c)
+    return jnp.sqrt(c + grad_eps)
 
 
 def quantize(colour: np.ndarray) -> np.ndarray:

@@ -72,7 +72,9 @@ def sphere_t(rays: Rays, center, radius, t_min, t_max):
     half_b = jnp.sum(oc * rays.d[:, None, :], axis=-1)    # (R,S)
     c = jnp.sum(oc * oc, axis=-1) - (radius * radius)[None, :]
     disc = half_b * half_b - a * c
-    sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # safe-where: d(sqrt)/dx -> inf at 0 would turn masked misses into NaN
+    # gradients (inf * 0); substitute 1 under the miss mask
+    sqrtd = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
     r1 = (-half_b - sqrtd) / a
     r2 = (-half_b + sqrtd) / a
     in1 = (r1 >= t_min) & (r1 <= t_max)
@@ -82,8 +84,10 @@ def sphere_t(rays: Rays, center, radius, t_min, t_max):
 
 
 def sphere_uv(outward_normal):
-    """getSphereUV (sphere.cpp:4-18): theta=acos(-n.y), phi=atan2(-n.z,n.x)+pi."""
-    theta = jnp.arccos(jnp.clip(-outward_normal[..., 1], -1.0, 1.0))
+    """getSphereUV (sphere.cpp:4-18): theta=acos(-n.y), phi=atan2(-n.z,n.x)+pi.
+    safe_arccos: exact value, derivative clamped at the poles."""
+    from ..core.mathx import safe_arccos
+    theta = safe_arccos(-outward_normal[..., 1])
     phi = jnp.arctan2(-outward_normal[..., 2], outward_normal[..., 0]) + jnp.pi
     return jnp.stack([phi / (2.0 * jnp.pi), theta / jnp.pi], axis=-1)
 
@@ -134,10 +138,13 @@ def rect_t(rays: Rays, axis, a0, a1, b0, b1, k, t_min, t_max):
     # gather per-rect components: (R, Q)
     o_n = o[:, axis]
     d_n = d[:, axis]
-    t = (k[None, :] - o_n) / d_n
+    # safe-where: parallel rays (d_n == 0) must not produce inf t (NaN
+    # gradients through the masked branch); they are rejected via `ok`
+    parallel = d_n == 0.0
+    t = (k[None, :] - o_n) / jnp.where(parallel, 1.0, d_n)
     pa = o[:, _AXIS_A[axis]] + t * d[:, _AXIS_A[axis]]
     pb = o[:, _AXIS_B[axis]] + t * d[:, _AXIS_B[axis]]
-    ok = ((t >= t_min) & (t <= t_max)
+    ok = (~parallel & (t >= t_min) & (t <= t_max)
           & (pa >= a0[None, :]) & (pa <= a1[None, :])
           & (pb >= b0[None, :]) & (pb <= b1[None, :]))
     return jnp.where(ok, t, BIG)
@@ -235,7 +242,7 @@ def triangle_t(rays: Rays, v0, v1, v2, t_max):
     neg_ok = (det < 0) & (t_scaled < 0) & (t_scaled >= t_max * det)
     pos_ok = (det > 0) & (t_scaled > 0) & (t_scaled <= t_max * det)
     ok = inside & (det != 0) & (neg_ok | pos_ok)
-    t = t_scaled / det
+    t = t_scaled / jnp.where(det == 0, 1.0, det)  # safe-where for grads
     return jnp.where(ok, t, BIG)
 
 

@@ -121,7 +121,8 @@ def scatter(mats: MaterialTable, tab: tex_ops.TextureTable, rays: Rays,
                            (n,))
 
     unit_d = mathx.normalize(rays.d)
-    unit_n = mathx.normalize(nrm, eps=1e-20)
+    unit_n = mathx.normalize(nrm, eps=1e-12)  # eps large enough that the
+    # backward 1/norm^2 terms stay finite in float32
 
     # --- Lambertian (material.h:132-157): dir = normal + unit_sphere,
     # near-zero fallback to normal. NOTE the raw (possibly unnormalized)

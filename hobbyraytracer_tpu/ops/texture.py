@@ -23,7 +23,12 @@ DEBUG_CYAN = (0.0, 1.0, 1.0)  # missing-data fallback (texture.cpp:56-57)
 @flax.struct.dataclass
 class TextureTable:
     """All scene textures. T = number of textures (>= 1; index 0 is a
-    reserved solid-white so mat tables can always hold a valid id)."""
+    reserved solid-white so mat tables can always hold a valid id).
+
+    `bilinear` (static, default False) switches image/environment lookups
+    from the reference's nearest-neighbor (texture.cpp:63-74,86-97) to
+    bilinear filtering — an extension the differentiable path uses so UV /
+    direction gradients are smooth instead of piecewise-constant."""
     ttype: jnp.ndarray    # (T,) int32
     solid: jnp.ndarray    # (T,3) solid colour / checkered `even`
     solid2: jnp.ndarray   # (T,3) checkered `odd`
@@ -31,6 +36,7 @@ class TextureTable:
     offset: jnp.ndarray   # (T,) int32 start into atlas
     width: jnp.ndarray    # (T,) int32
     height: jnp.ndarray   # (T,) int32
+    bilinear: bool = flax.struct.field(pytree_node=False, default=False)
 
 
 def build_table(specs) -> TextureTable:
@@ -99,24 +105,50 @@ def colour_value(tab: TextureTable, tex_id, u, v, p) -> jnp.ndarray:
     c_check = jnp.where((sines < 0.0)[..., None], tab.solid2[tid],
                         tab.solid[tid])
 
-    # image (nearest, v flipped)
     uc = jnp.clip(u, 0.0, 1.0)
-    vc = 1.0 - jnp.clip(v, 0.0, 1.0)
     wi = jnp.maximum(w, 1)
     hi = jnp.maximum(h, 1)
-    i_img = jnp.minimum((uc * w.astype(jnp.float32)).astype(jnp.int32), wi - 1)
-    j_img = jnp.minimum((vc * h.astype(jnp.float32)).astype(jnp.int32), hi - 1)
-    idx_img = off + j_img * wi + i_img
-    c_img = tab.atlas[jnp.clip(idx_img, 0, tab.atlas.shape[0] - 1)]
 
-    # environment (nearest with +0.5 rounding, no v flip)
+    def fetch(i, j):
+        idx = off + jnp.clip(j, 0, hi - 1) * wi + jnp.clip(i, 0, wi - 1)
+        return tab.atlas[jnp.clip(idx, 0, tab.atlas.shape[0] - 1)]
+
+    def bilerp(x, y):
+        """Sample at continuous texel coords (x, y): smooth in (x, y)."""
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = (x - x0)[..., None]
+        fy = (y - y0)[..., None]
+        i0 = x0.astype(jnp.int32)
+        j0 = y0.astype(jnp.int32)
+        c00 = fetch(i0, j0)
+        c10 = fetch(i0 + 1, j0)
+        c01 = fetch(i0, j0 + 1)
+        c11 = fetch(i0 + 1, j0 + 1)
+        return ((1 - fx) * (1 - fy) * c00 + fx * (1 - fy) * c10
+                + (1 - fx) * fy * c01 + fx * fy * c11)
+
+    # image (v flipped)
+    vc = 1.0 - jnp.clip(v, 0.0, 1.0)
+    if tab.bilinear:
+        c_img = bilerp(uc * (w - 1).astype(jnp.float32),
+                       vc * (h - 1).astype(jnp.float32))
+    else:  # nearest by truncation (texture.cpp:63-74)
+        i_img = jnp.minimum((uc * w.astype(jnp.float32)).astype(jnp.int32),
+                            wi - 1)
+        j_img = jnp.minimum((vc * h.astype(jnp.float32)).astype(jnp.int32),
+                            hi - 1)
+        c_img = fetch(i_img, j_img)
+
+    # environment (no v flip)
     ve = jnp.clip(v, 0.0, 1.0)
-    i_env = (uc * (w - 1).astype(jnp.float32) + 0.5).astype(jnp.int32)
-    j_env = (ve * (h - 1).astype(jnp.float32) + 0.5).astype(jnp.int32)
-    i_env = jnp.clip(i_env, 0, wi - 1)
-    j_env = jnp.clip(j_env, 0, hi - 1)
-    idx_env = off + j_env * wi + i_env
-    c_env = tab.atlas[jnp.clip(idx_env, 0, tab.atlas.shape[0] - 1)]
+    if tab.bilinear:
+        c_env = bilerp(uc * (w - 1).astype(jnp.float32),
+                       ve * (h - 1).astype(jnp.float32))
+    else:  # nearest with +0.5 rounding on (dim-1) (texture.cpp:86-97)
+        i_env = (uc * (w - 1).astype(jnp.float32) + 0.5).astype(jnp.int32)
+        j_env = (ve * (h - 1).astype(jnp.float32) + 0.5).astype(jnp.int32)
+        c_env = fetch(i_env, j_env)
 
     cyan = jnp.asarray(DEBUG_CYAN, jnp.float32)
     has_data = (w > 0)[..., None]

@@ -1,0 +1,117 @@
+"""Distributed execution over a jax.sharding.Mesh.
+
+The reference's only parallelism is a single-node pixel thread pool with a
+mutex-guarded framebuffer (std::for_each_n(std::execution::par, ...),
+main.cpp:111-135; mutex main.cpp:90,130). TPU-native replacement
+(SURVEY.md §2.3):
+
+- rays are independent, the scene is small: classic data parallelism.
+  Pixel/sample batches are sharded over the mesh's 'rays' axis; the scene
+  pytree (BVH, triangle soup, material/texture tables) is replicated —
+  broadcast once over ICI at put time.
+- the SAME single-device jitted program is partitioned by XLA's SPMD
+  (GSPMD) via input shardings: no mutex, no manual collectives; each chip
+  owns its slice of the HBM framebuffer, and parameter gradients in the
+  fit path come out of jit as an XLA-inserted psum (reduce over the mesh).
+- multi-host: `init_multihost` wires jax.distributed; ICI within a slice,
+  DCN across hosts — all hidden behind the same mesh.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.types import Rays
+from ..integrator import path as path_mod
+
+RAY_AXIS = "rays"
+
+
+def init_multihost(coordinator: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> None:
+    """jax.distributed bootstrap for multi-host pods. On a single host this
+    is a no-op. (The reference has no multi-process mode at all.)"""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = RAY_AXIS) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.asarray(devs[:n]), (axis,))
+
+
+def replicate_scene(scene, mesh: Mesh):
+    """Broadcast the scene pytree to every chip (fully replicated)."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(scene, sharding)
+
+
+def shard_rays(rays: Rays, mesh: Mesh) -> Rays:
+    """Shard a ray wavefront along its batch axis over the mesh."""
+    sharding = NamedSharding(mesh, P(RAY_AXIS))
+    return Rays(o=jax.device_put(rays.o, sharding),
+                d=jax.device_put(rays.d, sharding))
+
+
+def render_sharded(scene, camera, width: int, height: int, samples: int,
+                   key, mesh: Mesh, max_depth: int = path_mod.MAX_DEPTH,
+                   sample_chunk: int = 0):
+    """Data-parallel render: the single-device render program, partitioned
+    by GSPMD from input shardings. Pixel count must divide the mesh size
+    (pad the image if needed). Semantics — including RNG streams — are
+    identical to the single-device render, so sharded == unsharded
+    bit-for-bit (the distributed test's assertion)."""
+    scene_r = replicate_scene(scene, mesh)
+    camera_r = jax.device_put(camera, NamedSharding(mesh, P()))
+    out_sharding = NamedSharding(mesh, P(RAY_AXIS))
+
+    fn = jax.jit(path_mod.sample_radiance, static_argnums=(2, 3, 5, 6),
+                 out_shardings=out_sharding)
+    if sample_chunk <= 0 or sample_chunk >= samples:
+        total = fn(scene_r, camera_r, width, height, key, samples, max_depth)
+    else:
+        total = None
+        done = 0
+        i = 0
+        while done < samples:
+            c = min(sample_chunk, samples - done)
+            part = fn(scene_r, camera_r, width, height,
+                      jax.random.fold_in(key, 1000003 + i), c, max_depth)
+            total = part if total is None else total + part
+            done += c
+            i += 1
+    from ..ops import film
+    img = film.tonemap(total / jax.numpy.float32(samples))
+    return img.reshape(height, width, 3)
+
+
+def sharded_fit_step(params, rebuild, camera, width, height, key, n_samples,
+                     target, mesh: Mesh, opt, opt_state,
+                     max_depth: int = 6):
+    """One optimizer step with the loss/grad program partitioned over the
+    mesh: the pixel batch (inside render) shards over 'rays'; parameters
+    are replicated, so their gradient is an XLA all-reduce (psum) over the
+    mesh — the TPU equivalent of the reference's (nonexistent) gradient
+    communication, overlapped by XLA with the backward pass."""
+    from ..diff.fit import render_loss
+
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+    target = jax.device_put(target, NamedSharding(mesh, P(RAY_AXIS)))
+
+    def loss_fn(p, k):
+        return render_loss(p, rebuild, camera, width, height, k, n_samples,
+                           target, max_depth)
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params, key)
+    updates, opt_state = opt.update(grads, opt_state)
+    import optax
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
