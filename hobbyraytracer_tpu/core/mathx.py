@@ -25,11 +25,15 @@ def length(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def normalize(v: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
-    """glm::normalize. With eps=0 matches glm (NaN on zero vectors)."""
-    n = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    """glm::normalize. With eps=0 matches glm (NaN on zero vectors).
+
+    rsqrt on the packed (batch,) reduction + broadcast multiply: divisions
+    and square roots are multi-cycle VPU ops whose cost scales with PADDED
+    lanes, so never run them on (N,1)/(N,3)-shaped values."""
+    n2 = jnp.sum(v * v, axis=-1)
     if eps:
-        n = jnp.maximum(n, eps)
-    return v / n
+        n2 = jnp.maximum(n2, eps * eps)
+    return v * jax.lax.rsqrt(n2)[..., None]
 
 
 def near_zero(v: jnp.ndarray) -> jnp.ndarray:
@@ -59,10 +63,13 @@ def refract(i: jnp.ndarray, n: jnp.ndarray, eta: jnp.ndarray) -> jnp.ndarray:
 
 
 def schlick(cosine: jnp.ndarray, ref_idx: jnp.ndarray) -> jnp.ndarray:
-    """Schlick reflectance approximation (reference: material.h:236-241)."""
+    """Schlick reflectance approximation (reference: material.h:236-241).
+    pow(x, 5) as a multiply chain — jnp.power lowers to exp/log."""
     r0 = (1.0 - ref_idx) / (1.0 + ref_idx)
     r0 = r0 * r0
-    return r0 + (1.0 - r0) * jnp.power(1.0 - cosine, 5.0)
+    x = 1.0 - cosine
+    x2 = x * x
+    return r0 + (1.0 - r0) * (x2 * x2 * x)
 
 
 @jax.custom_jvp

@@ -67,16 +67,27 @@ def sphere_t(rays: Rays, center, radius, t_min, t_max):
     two-root window test (sphere.cpp:20-49). center: (S,3), radius: (S,).
     Returns (R, S) t values, BIG where miss.
     """
-    oc = rays.o[:, None, :] - center[None, :, :]          # (R,S,3)
-    a = jnp.sum(rays.d * rays.d, axis=-1)[:, None]        # (R,1)
-    half_b = jnp.sum(oc * rays.d[:, None, :], axis=-1)    # (R,S)
-    c = jnp.sum(oc * oc, axis=-1) - (radius * radius)[None, :]
+    # component-scalarized: every intermediate is (R,S) or (R,1)/(1,S) —
+    # a (R,S,3) formulation pads the size-3 minor axis to a full 128-lane
+    # row on TPU (~43x wasted VPU work and HBM traffic)
+    ox, oy, oz = (rays.o[:, i, None] for i in range(3))   # (R,1)
+    dx, dy, dz = (rays.d[:, i, None] for i in range(3))
+    cx, cy, cz = (center[None, :, i] for i in range(3))   # (1,S)
+    ocx = ox - cx
+    ocy = oy - cy
+    ocz = oz - cz
+    a = dx * dx + dy * dy + dz * dz                       # (R,1)
+    half_b = ocx * dx + ocy * dy + ocz * dz               # (R,S)
+    c = (ocx * ocx + ocy * ocy + ocz * ocz
+         - (radius * radius)[None, :])
     disc = half_b * half_b - a * c
     # safe-where: d(sqrt)/dx -> inf at 0 would turn masked misses into NaN
     # gradients (inf * 0); substitute 1 under the miss mask
     sqrtd = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
-    r1 = (-half_b - sqrtd) / a
-    r2 = (-half_b + sqrtd) / a
+    # reciprocal on the packed (R,) shape, then broadcast multiply
+    inv_a = (1.0 / a[:, 0])[:, None]
+    r1 = (-half_b - sqrtd) * inv_a
+    r2 = (-half_b + sqrtd) * inv_a
     in1 = (r1 >= t_min) & (r1 <= t_max)
     in2 = (r2 >= t_min) & (r2 <= t_max)
     root = jnp.where(in1, r1, jnp.where(in2, r2, BIG))
@@ -127,23 +138,43 @@ def intersect_spheres(rays: Rays, center, radius, mat_id, t_min, t_max,
 # (+unit on axis n), matching YZRect/XZRect/XYRect (aarect.h:5-144):
 #   yz_rect: n=0 (x), a=y, b=z;  xz_rect: n=1 (y), a=x, b=z;
 #   xy_rect: n=2 (z), a=x, b=y.
-_AXIS_A = jnp.array([1, 0, 0], jnp.int32)
-_AXIS_B = jnp.array([2, 2, 1], jnp.int32)
+_AXIS_A_LIST = (1, 0, 0)
+_AXIS_B_LIST = (2, 2, 1)
+_AXIS_A = jnp.array(_AXIS_A_LIST, jnp.int32)
+_AXIS_B = jnp.array(_AXIS_B_LIST, jnp.int32)
 
 
 def rect_t(rays: Rays, axis, a0, a1, b0, b1, k, t_min, t_max):
-    """Candidate t per (ray, rect). axis: (Q,) int32 normal axis."""
-    o = rays.o  # (R,3)
-    d = rays.d
-    # gather per-rect components: (R, Q)
-    o_n = o[:, axis]
-    d_n = d[:, axis]
-    # safe-where: parallel rays (d_n == 0) must not produce inf t (NaN
-    # gradients through the masked branch); they are rejected via `ok`
-    parallel = d_n == 0.0
-    t = (k[None, :] - o_n) / jnp.where(parallel, 1.0, d_n)
-    pa = o[:, _AXIS_A[axis]] + t * d[:, _AXIS_A[axis]]
-    pb = o[:, _AXIS_B[axis]] + t * d[:, _AXIS_B[axis]]
+    """Candidate t per (ray, rect). axis: (Q,) int32 normal axis.
+
+    Scalarized: instead of gathering per-rect ray components (a (R,Q)
+    gather, catastrophic on TPU), compute the plane solve for all three
+    axis choices with dense (R,Q) ops and select by the rect's axis mask.
+    """
+    oc = [rays.o[:, i, None] for i in range(3)]  # 3 x (R,1)
+    dc = [rays.d[:, i, None] for i in range(3)]
+    kq = k[None, :]                              # (1,Q)
+    t = jnp.zeros((rays.o.shape[0], axis.shape[0]), jnp.float32)
+    pa = jnp.zeros_like(t)
+    pb = jnp.zeros_like(t)
+    parallel = jnp.zeros(t.shape, jnp.bool_)
+    for ax in range(3):
+        ia = _AXIS_A_LIST[ax]
+        ib = _AXIS_B_LIST[ax]
+        sel = (axis == ax)[None, :]
+        par_ax = dc[ax] == 0.0
+        # safe-where: parallel rays must not produce inf t (NaN gradients
+        # through the masked branch); rejected via `ok`.
+        # reciprocal on the packed (R,) shape (division cost scales with
+        # padded lanes), then a cheap broadcast multiply
+        d_flat = rays.d[:, ax]
+        inv_ax = (1.0 / jnp.where(d_flat == 0.0, 1.0, d_flat))[:, None]
+        t_ax = (kq - oc[ax]) * inv_ax
+        t = jnp.where(sel, t_ax, t)
+        pa = jnp.where(sel, oc[ia] + t_ax * dc[ia], pa)
+        pb = jnp.where(sel, oc[ib] + t_ax * dc[ib], pb)
+        parallel = jnp.where(sel, jnp.broadcast_to(par_ax, t.shape),
+                             parallel)
     ok = (~parallel & (t >= t_min) & (t <= t_max)
           & (pa >= a0[None, :]) & (pa <= a1[None, :])
           & (pb >= b0[None, :]) & (pb <= b1[None, :]))
@@ -195,6 +226,9 @@ def triangle_t(rays: Rays, v0, v1, v2, t_max):
     """Candidate t per (ray, tri): watertight intersection after PBRT-3
     (reference ITriangle::hit, triangle.cpp:57-109).
 
+    v0/v1/v2 are either (T,3) — shared triangle table, result (R,T) — or
+    (R,T,3) — per-ray gathered triangles (the clustered-BVH leaf path).
+
     Divergence (fix-and-document, SURVEY.md §7): the reference picks the
     projection axis from the RAY ORIGIN's components (triangle.cpp:70),
     which breaks when d[kz] ~ 0; we use max |d| as PBRT does. Like the
@@ -208,21 +242,26 @@ def triangle_t(rays: Rays, v0, v1, v2, t_max):
     kx = (kz + 1) % 3
     ky = (kx + 1) % 3
     rr = jnp.arange(d.shape[0])
-    dx = d[rr, kx][:, None]
-    dy = d[rr, ky][:, None]
-    dz = d[rr, kz][:, None]
+    dx_f = d[rr, kx]
+    dy_f = d[rr, ky]
+    dz_f = d[rr, kz]
+    # shear coefficients on packed (R,) shapes (divisions are expensive on
+    # lane-padded (R,1) layouts), broadcast afterwards
+    inv_dz = 1.0 / dz_f
+    sx = (-dx_f * inv_dz)[:, None]
+    sy = (-dy_f * inv_dz)[:, None]
+    sz = inv_dz[:, None]
 
     def permuted(v):
-        # v: (T,3) -> components (R,T) after per-ray permutation
-        t0 = v[None, :, :] - rays.o[:, None, :]  # translate to ray origin
+        # v: (T,3) or (R,T,3) -> components (R,T) after per-ray permutation
+        if v.ndim == 2:
+            t0 = v[None, :, :] - rays.o[:, None, :]
+        else:
+            t0 = v - rays.o[:, None, :]
         px = jnp.take_along_axis(t0, kx[:, None, None], axis=2)[..., 0]
         py = jnp.take_along_axis(t0, ky[:, None, None], axis=2)[..., 0]
         pz = jnp.take_along_axis(t0, kz[:, None, None], axis=2)[..., 0]
         return px, py, pz
-
-    sx = -dx / dz
-    sy = -dy / dz
-    sz = 1.0 / dz
 
     p0x, p0y, p0z = permuted(v0)
     p1x, p1y, p1z = permuted(v1)
@@ -300,15 +339,21 @@ def intersect_triangles(rays: Rays, verts, normals, uvs, indices, mat_id,
         return Hits.none(n_rays)
     chunk = min(chunk, n)
     np_ = ((n + chunk - 1) // chunk) * chunk
-    tri_v0 = _pad(verts[indices[:, 0]], np_, 0.0)  # degenerate: det == 0
+    tri_v0 = _pad(verts[indices[:, 0]], np_, 0.0)
     tri_v1 = _pad(verts[indices[:, 1]], np_, 0.0)
     tri_v2 = _pad(verts[indices[:, 2]], np_, 0.0)
+    # explicit pad mask: degenerate zero-area padding is NOT enough — XLA
+    # FMA contraction can make the edge functions of an all-equal-vertex
+    # triangle cancel inexactly, yielding det != 0 and a phantom hit
+    tri_ok = (jnp.arange(np_, dtype=jnp.int32) < n)
 
     def per_chunk(start):
         v0 = jax.lax.dynamic_slice_in_dim(tri_v0, start, chunk, 0)
         v1 = jax.lax.dynamic_slice_in_dim(tri_v1, start, chunk, 0)
         v2 = jax.lax.dynamic_slice_in_dim(tri_v2, start, chunk, 0)
-        return triangle_t(rays, v0, v1, v2, t_max)
+        ok = jax.lax.dynamic_slice_in_dim(tri_ok, start, chunk, 0)
+        return jnp.where(ok[None, :], triangle_t(rays, v0, v1, v2, t_max),
+                         BIG)
 
     t, idx = _chunked_argmin(per_chunk, np_, n_rays, chunk)
     hit = t < BIG
@@ -326,6 +371,158 @@ def intersect_triangles(rays: Rays, verts, normals, uvs, indices, mat_id,
                 p=ray_at(rays.o, rays.d, jnp.where(hit, t, 1.0)),
                 normal=normal, uv=uv,
                 front_face=front,
+                mat_id=jnp.where(hit, mat_id, -1))
+
+
+def cluster_entries(rays: Rays, bmin, bmax, t_max):
+    """Slab-test all K cluster boxes per ray; -> (R, K) entry distance
+    (clamped >= 0), +inf where missed. bmin/bmax: (K,3)."""
+    lo = None
+    hi = None
+    for ax in range(3):  # per-axis: all intermediates are (R,K)
+        o_ax = rays.o[:, ax, None]                           # (R,1)
+        d_ax = rays.d[:, ax, None]
+        inv = 1.0 / jnp.where(jnp.abs(d_ax) < 1e-30, 1e-30, d_ax)
+        t0 = (bmin[None, :, ax] - o_ax) * inv                # (R,K)
+        t1 = (bmax[None, :, ax] - o_ax) * inv
+        lo_ax = jnp.minimum(t0, t1)
+        hi_ax = jnp.maximum(t0, t1)
+        lo = lo_ax if lo is None else jnp.maximum(lo, lo_ax)
+        hi = hi_ax if hi is None else jnp.minimum(hi, hi_ax)
+    entry = jnp.maximum(lo, 0.0)
+    hit = (hi > entry) & (entry < t_max)
+    return jnp.where(hit, entry, jnp.inf)
+
+
+def select_nearest_clusters(entry, max_clusters: int):
+    """Pick the `max_clusters` nearest-entry clusters per row.
+    entry: (N,K) with inf for misses -> (slots (N,C) int32, valid (N,C)).
+    Rows overlapping more than C clusters lose the farthest ones — with
+    nearest-first ordering those are almost always occluded anyway."""
+    r = jnp.arange(entry.shape[0])
+    slots, valids = [], []
+    e = entry
+    for _ in range(max_clusters):
+        idx = jnp.argmin(e, axis=1).astype(jnp.int32)
+        val = jnp.isfinite(e[r, idx])
+        slots.append(jnp.where(val, idx, 0))
+        valids.append(val)
+        e = e.at[r, idx].set(jnp.inf)
+    return jnp.stack(slots, axis=1), jnp.stack(valids, axis=1)
+
+
+RAY_BLOCK = 64  # rays per visit-list block
+
+
+def intersect_mesh_clustered(rays: Rays, tri_verts, tri_id, bmin, bmax,
+                             t_max, max_clusters: int = 12):
+    """Closest triangle via the flattened cluster BVH (scene/bvh.py).
+
+    TPU-shaped traversal: rays are grouped into blocks of RAY_BLOCK; each
+    block computes ONE visit list (the C nearest clusters any of its rays'
+    slab tests hit), then runs dense Moller-Trumbore over the visited
+    clusters' (L) triangles for all (B) rays — (B, L) vector ops with
+    block-granular gathers only. Replaces the reference's per-ray recursive
+    BVHNode::hit (bvh.cpp:69-78) without per-lane divergence.
+
+    tri_verts: (K, L, 3, 3); tri_id: (K, L) int32 (-1 pads); bounds (K,3).
+    Returns (t_best (R,), global_tri_id (R,) int32, hit (R,) bool).
+    """
+    n_rays = rays.o.shape[0]
+    k_clusters, leaf = tri_id.shape
+    max_clusters = min(max_clusters, k_clusters)
+    b = RAY_BLOCK
+    n_pad = ((n_rays + b - 1) // b) * b
+    nb = n_pad // b
+
+    o = _pad(rays.o, n_pad, 0.0).reshape(nb, b, 3)
+    d = _pad(rays.d, n_pad, 1.0).reshape(nb, b, 3)
+
+    # dense ray x cluster slab entries -> per-block nearest-C visit lists
+    entry = cluster_entries(Rays(o=o.reshape(-1, 3), d=d.reshape(-1, 3)),
+                            bmin, bmax, t_max)           # (n_pad, K)
+    block_entry = jnp.min(entry.reshape(nb, b, k_clusters), axis=1)
+    slots, valid = select_nearest_clusters(block_entry, max_clusters)
+
+    # MT-precomputed triangle SoA in cluster order, laid out (K, 9, L):
+    # triangles on the minor (lane) axis so gathered blocks stay packed
+    v0 = tri_verts[:, :, 0, :]
+    e1 = tri_verts[:, :, 1, :] - v0
+    e2 = tri_verts[:, :, 2, :] - v0
+    tri_soa = jnp.concatenate([v0, e1, e2], axis=2)       # (K, L, 9)
+    tri_soa = jnp.swapaxes(tri_soa, 1, 2)                 # (K, 9, L)
+    pad_ok = tri_id >= 0                                  # (K, L)
+
+    ox, oy, oz = o[..., 0:1], o[..., 1:2], o[..., 2:3]    # (NB, B, 1)
+    dx, dy, dz = d[..., 0:1], d[..., 1:2], d[..., 2:3]
+
+    def visit(carry, sv):
+        t_best, id_best = carry                           # (NB, B)
+        slot, val = sv                                    # (NB,), (NB,)
+        blk = tri_soa[slot]                               # (NB, 9, L) gather
+        ok = pad_ok[slot] & val[:, None]                  # (NB, L)
+        v0x = blk[:, 0, None, :]                          # (NB, 1, L)
+        v0y = blk[:, 1, None, :]
+        v0z = blk[:, 2, None, :]
+        e1x = blk[:, 3, None, :]
+        e1y = blk[:, 4, None, :]
+        e1z = blk[:, 5, None, :]
+        e2x = blk[:, 6, None, :]
+        e2y = blk[:, 7, None, :]
+        e2z = blk[:, 8, None, :]
+        # Moller-Trumbore, all ops (NB, B, L)
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv = 1.0 / jnp.where(det == 0.0, 1.0, det)
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv
+        good = ((det != 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > 0.0) & (t <= t_max) & ok[:, None, :])
+        t = jnp.where(good, t, BIG)
+        l_best = jnp.argmin(t, axis=2)                    # (NB, B)
+        t_c = jnp.min(t, axis=2)
+        take = t_c < t_best
+        gid = jnp.take_along_axis(tri_id[slot], l_best, axis=1)  # (NB, B)
+        return (jnp.where(take, t_c, t_best),
+                jnp.where(take, gid, id_best)), None
+
+    init = (jnp.full((nb, b), BIG, jnp.float32),
+            jnp.full((nb, b), -1, jnp.int32))
+    (t_best, id_best), _ = jax.lax.scan(visit, init, (slots.T, valid.T))
+    t_best = t_best.reshape(-1)[:n_rays]
+    id_best = id_best.reshape(-1)[:n_rays]
+    return t_best, id_best, t_best < BIG
+
+
+def intersect_triangles_bvh(rays: Rays, verts, normals, uvs, indices,
+                            tri_verts, tri_id, bmin, bmax, mat_id, t_max,
+                            max_clusters: int = 12) -> Hits:
+    """Full mesh hit via the cluster BVH: find (t, tri) then interpolate
+    attributes exactly like intersect_triangles."""
+    t, gid, hit = intersect_mesh_clustered(rays, tri_verts, tri_id, bmin,
+                                           bmax, t_max, max_clusters)
+    safe = jnp.maximum(gid, 0)
+    i0 = indices[safe, 0]
+    i1 = indices[safe, 1]
+    i2 = indices[safe, 2]
+    b0, b1, b2 = triangle_attribs(rays, verts[i0], verts[i1], verts[i2])
+    w = lambda a: (b0[:, None] * a[i0] + b1[:, None] * a[i1]
+                   + b2[:, None] * a[i2])
+    normal = w(normals)
+    uv = b0[:, None] * uvs[i0] + b1[:, None] * uvs[i1] + b2[:, None] * uvs[i2]
+    front = jnp.sum(rays.d * normal, axis=-1) < 0.0
+    return Hits(hit=hit, t=jnp.where(hit, t, BIG),
+                p=ray_at(rays.o, rays.d, jnp.where(hit, t, 1.0)),
+                normal=normal, uv=uv, front_face=front,
                 mat_id=jnp.where(hit, mat_id, -1))
 
 

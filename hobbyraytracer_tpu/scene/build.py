@@ -274,12 +274,7 @@ def build_scene(desc: SceneDesc) -> RenderJob:
                 print(f"ERROR: Couldn't load file: {o.params['path']} ({e})")
                 continue
             print(f"Loaded file: {o.params['path']}")  # mesh.cpp:117
-            geom = ir.MeshGeom(
-                verts=jnp.asarray(m["verts"]),
-                normals=jnp.asarray(m["normals"]),
-                uvs=jnp.asarray(m["uvs"]),
-                indices=jnp.asarray(m["indices"]),
-                mat_id=jnp.asarray(mat_id, jnp.int32))
+            geom = _mesh_geom(m, mat_id)
             instances.append(ir.Instance(kind="mesh", mesh=geom,
                                          transform=tr))
         elif o.type == "constant_medium":
@@ -322,6 +317,35 @@ def build_scene(desc: SceneDesc) -> RenderJob:
         desc.camera["aperture"], desc.camera["focal_distance"]),
         width=desc.film["width"], height=desc.film["height"],
         samples=desc.film["samples"], output=desc.film["output"])
+
+
+# meshes below this triangle count use the dense brute-force path (the
+# fixed per-bounce cull cost isn't worth it)
+BVH_MIN_TRIS = 64
+# leaf size 128 = one full VPU lane row per (ray, leaf-triangle) op
+BVH_LEAF_SIZE = 128
+
+
+def _mesh_geom(m, mat_id) -> ir.MeshGeom:
+    """Mesh arrays + host cluster-BVH build (reference: Mesh ctor wrapping
+    its ITriangles in a BVHNode, mesh.cpp:36-38 -> bvh.cpp:6)."""
+    n_tris = int(m["indices"].shape[0])
+    geom = ir.MeshGeom(
+        verts=jnp.asarray(m["verts"]),
+        normals=jnp.asarray(m["normals"]),
+        uvs=jnp.asarray(m["uvs"]),
+        indices=jnp.asarray(m["indices"]),
+        mat_id=jnp.asarray(mat_id, jnp.int32))
+    if n_tris >= BVH_MIN_TRIS:
+        from .bvh import build_clusters
+        cl = build_clusters(m["verts"], m["indices"],
+                            leaf_size=BVH_LEAF_SIZE)
+        geom = geom.replace(
+            cluster_id=jnp.asarray(cl["tri_id"]),
+            cluster_bmin=jnp.asarray(cl["bmin"]),
+            cluster_bmax=jnp.asarray(cl["bmax"]),
+            use_bvh=True)
+    return geom
 
 
 def _box_rects(bmin, bmax, mat_id):

@@ -1,0 +1,85 @@
+"""Host-side BVH build: uniform-leaf cluster hierarchy (numpy).
+
+The reference builds a per-mesh pointer BVH with random split axis +
+median-split sorting (BVHNode, bvh.cpp:6-61) and traverses it recursively
+per ray (bvh.cpp:69-78). Pointer-chasing per-ray traversal is the wrong
+shape for a TPU (per-lane divergence, scalar gathers), so the new layout is
+a *flattened two-level BVH with uniform leaves*:
+
+- triangles are recursively median-split on the centroid's longest axis
+  (same spirit as the reference's sort-based build) until each leaf
+  ("cluster") holds <= leaf_size triangles;
+- every cluster is padded to exactly leaf_size with degenerate triangles,
+  so the device arrays are rectangular: tri vertices (K, L, 3, 3), global
+  triangle ids (K, L), cluster bounds (K, 3)+(K, 3);
+- traversal on device is dense and divergence-free: slab-test all K
+  cluster boxes per ray (vector ops), pick the C nearest-entry hit
+  clusters, and run the watertight triangle test on those clusters'
+  gathered triangles (ops/intersect.py:triangle_t on (R, C*L, 3) blocks).
+
+A deeper hierarchy is unnecessary at these scene sizes (K <= a few
+hundred): the dense ray x cluster test is a few vector ops per ray and the
+leaf work is bounded by C*L.
+
+A native C++ builder (native/) can override `median_split_order` for large
+meshes; the numpy build handles the reference's scene sizes (~6.3k tris)
+in milliseconds.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def median_split_order(centroids: np.ndarray, leaf_size: int) -> list:
+    """Recursively median-split triangle indices; returns a list of index
+    arrays, each of length <= leaf_size."""
+    out = []
+
+    def split(idx):
+        if len(idx) <= leaf_size:
+            out.append(idx)
+            return
+        c = centroids[idx]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        order = np.argsort(c[:, axis], kind="stable")
+        half = len(idx) // 2
+        split(idx[order[:half]])
+        split(idx[order[half:]])
+
+    split(np.arange(len(centroids), dtype=np.int64))
+    return out
+
+
+def build_clusters(verts: np.ndarray, indices: np.ndarray,
+                   leaf_size: int = 32):
+    """-> dict with:
+    tri_verts (K, L, 3, 3) float32 — leaf triangles, padded with degenerate
+        (all-zero) triangles that can never intersect (det == 0);
+    tri_id (K, L) int32 — global triangle index, -1 for padding;
+    bmin/bmax (K, 3) float32 — cluster bounds (padded ±1e-4 like the
+        reference's triangle boxes, triangle.cpp:42-55).
+    """
+    from ..native import build_clusters as native_build
+    native = native_build(verts, indices, leaf_size)
+    if native is not None:
+        return native
+    verts = np.asarray(verts, np.float32)
+    indices = np.asarray(indices, np.int64)
+    tv = verts[indices]                     # (T, 3, 3)
+    centroids = tv.mean(axis=1)             # (T, 3)
+    leaves = median_split_order(centroids, leaf_size)
+    k = len(leaves)
+    tri_verts = np.zeros((k, leaf_size, 3, 3), np.float32)
+    tri_id = np.full((k, leaf_size), -1, np.int32)
+    bmin = np.zeros((k, 3), np.float32)
+    bmax = np.zeros((k, 3), np.float32)
+    for i, leaf in enumerate(leaves):
+        n = len(leaf)
+        tri_verts[i, :n] = tv[leaf]
+        tri_id[i, :n] = leaf
+        lo = tv[leaf].reshape(-1, 3).min(axis=0) - 1e-4
+        hi = tv[leaf].reshape(-1, 3).max(axis=0) + 1e-4
+        bmin[i] = lo
+        bmax[i] = hi
+    return {"tri_verts": tri_verts, "tri_id": tri_id,
+            "bmin": bmin, "bmax": bmax}

@@ -92,12 +92,23 @@ class RectTable:
 class MeshGeom:
     """Triangle soup for one mesh: flat vertex/normal/uv arrays + index
     triples (reference: Mesh/assimpLoadFile, mesh.cpp:53-120). The vertex
-    array is a differentiable leaf for vertex-position gradients."""
+    array is a differentiable leaf for vertex-position gradients.
+
+    When `use_bvh` is set, cluster_* hold the flattened uniform-leaf BVH
+    (scene/bvh.py): cluster_id (K,L) global tri ids (-1 pad) and cluster
+    bounds (K,3). Leaf triangle vertices are re-gathered from `verts` at
+    trace time so vertex gradients flow through the BVH path too (the
+    bounds stay fixed — valid for small vertex perturbations)."""
     verts: jnp.ndarray    # (V,3)
     normals: jnp.ndarray  # (V,3)
     uvs: jnp.ndarray      # (V,2)
     indices: jnp.ndarray  # (T,3) int32
     mat_id: jnp.ndarray   # () int32 — whole mesh shares one material
+    cluster_id: Optional[jnp.ndarray] = None    # (K,L) int32
+    cluster_bmin: Optional[jnp.ndarray] = None  # (K,3)
+    cluster_bmax: Optional[jnp.ndarray] = None  # (K,3)
+    use_bvh: bool = flax.struct.field(pytree_node=False, default=False)
+    max_clusters: int = flax.struct.field(pytree_node=False, default=16)
 
 
 @flax.struct.dataclass
@@ -152,8 +163,17 @@ def _intersect_instance(inst: Instance, rays: Rays, t_min) -> Hits:
                                   rt.k, rt.mat_id, t_min, BIG)
     elif inst.kind == "mesh":
         m = inst.mesh
-        h = isect.intersect_triangles(r, m.verts, m.normals, m.uvs,
-                                      m.indices, m.mat_id, BIG)
+        if m.use_bvh:
+            # leaf vertices regathered from the differentiable vertex array
+            safe_id = jnp.maximum(m.cluster_id, 0)
+            tri_verts = m.verts[m.indices[safe_id]]  # (K,L,3,3)
+            h = isect.intersect_triangles_bvh(
+                r, m.verts, m.normals, m.uvs, m.indices, tri_verts,
+                m.cluster_id, m.cluster_bmin, m.cluster_bmax, m.mat_id,
+                BIG, m.max_clusters)
+        else:
+            h = isect.intersect_triangles(r, m.verts, m.normals, m.uvs,
+                                          m.indices, m.mat_id, BIG)
     else:
         raise ValueError(inst.kind)
     if inst.transform is not None:
@@ -178,11 +198,15 @@ def _medium_span(med: Medium, r: Rays):
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
         return (-half_b - sq) / a, (-half_b + sq) / a, disc > 0.0
     elif med.btype == "box":
-        inv = 1.0 / r.d
-        t0 = (med.bmin - r.o) * inv
-        t1 = (med.bmax - r.o) * inv
-        lo = jnp.max(jnp.minimum(t0, t1), axis=-1)
-        hi = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        lo = hi = None
+        for ax in range(3):  # per-axis: divisions on packed (R,) shapes
+            inv = 1.0 / r.d[:, ax]
+            t0 = (med.bmin[ax] - r.o[:, ax]) * inv
+            t1 = (med.bmax[ax] - r.o[:, ax]) * inv
+            lo_ax = jnp.minimum(t0, t1)
+            hi_ax = jnp.maximum(t0, t1)
+            lo = lo_ax if lo is None else jnp.maximum(lo, lo_ax)
+            hi = hi_ax if hi is None else jnp.minimum(hi, hi_ax)
         return lo, hi, hi > lo
     raise ValueError(med.btype)
 

@@ -17,12 +17,18 @@ A native C++ fast path may override `parse_obj` (see native/).
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
 def parse_obj(path: str):
     """-> dict(verts (V,3) f32, normals (V,3) f32, uvs (V,2) f32,
-    indices (T,3) i32)."""
+    indices (T,3) i32). Uses the native C++ parser when available."""
+    from ..native import parse_obj as native_parse
+    native = native_parse(path) if os.path.exists(path) else None
+    if native is not None:
+        return native
     positions, normals_in, uvs_in = [], [], []
     corner_map = {}
     out_pos, out_nrm, out_uv = [], [], []
