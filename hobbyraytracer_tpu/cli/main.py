@@ -35,6 +35,7 @@ def cmd_render(args) -> int:
         jax.config.update("jax_platforms", "cpu")
 
     from ..integrator import path as path_mod
+    from ..integrator import wavefront
     from ..ops import film as film_ops
     from ..scene import build_scene, load_scene_desc
     from ..scene.schema import SceneError
@@ -54,17 +55,51 @@ def cmd_render(args) -> int:
           f"{_hms(time.time() - t_start)})")
 
     key = jax.random.PRNGKey(args.seed)
-    chunk = args.chunk
-    if chunk <= 0:
-        # bound device memory: target <= ~2M rays in flight
-        chunk = max(1, min(samples, (2_000_000 // max(1, width * height))))
-
     total_px = width * height
-    img = path_mod.render_image(job.scene, job.camera, width, height,
-                                samples, key, max_depth=args.max_depth,
-                                sample_chunk=chunk)
     import numpy as np
-    img = np.asarray(img)
+
+    if args.integrator == "wavefront":
+        # periodic progress at <= ~500 ms cadence (main.cpp:95-109's
+        # reporter thread becomes a between-chunks host callback)
+        last = [0.0]
+
+        def progress_cb(retired, total):
+            now = time.time()
+            if retired >= total or now - last[0] >= 0.5:
+                last[0] = now
+                _progress(min(retired // samples, total_px), total_px)
+
+        ckpt_cb = None
+        state = None
+        if args.checkpoint:
+            from ..io import checkpoint as ckpt
+            if args.resume and os.path.exists(args.checkpoint):
+                state = ckpt.load_state(args.checkpoint)
+                print(f"Resumed checkpoint: {args.checkpoint} "
+                      f"({int(state.retired)} work items done)")
+            last_ck = [time.time()]
+
+            def ckpt_cb(s):
+                if time.time() - last_ck[0] >= args.checkpoint_every:
+                    ckpt.save_state(args.checkpoint, s)
+                    last_ck[0] = time.time()
+
+        img = wavefront.render_image(
+            job.scene, job.camera, width, height, samples, key,
+            max_depth=args.max_depth,
+            pool=args.pool or wavefront.DEFAULT_POOL,
+            progress_cb=progress_cb, state=state, checkpoint_cb=ckpt_cb)
+        img = np.asarray(img)
+    else:
+        chunk = args.chunk
+        if chunk <= 0:
+            # bound device memory: target <= ~2M rays in flight
+            chunk = max(1, min(samples,
+                               (2_000_000 // max(1, width * height))))
+        img = path_mod.render_image(job.scene, job.camera, width, height,
+                                    samples, key, max_depth=args.max_depth,
+                                    sample_chunk=chunk)
+        img = np.asarray(img)
     _progress(total_px, total_px)
     print()
 
@@ -142,6 +177,18 @@ def build_parser() -> argparse.ArgumentParser:
                         help="samples per device batch (0 = auto)")
         sp.add_argument("--cpu", action="store_true",
                         help="force the CPU backend")
+        sp.add_argument("--integrator", choices=["wavefront", "batch"],
+                        default="wavefront",
+                        help="wavefront = regenerative ray pool (fast); "
+                             "batch = whole-image bounce loop")
+        sp.add_argument("--pool", type=int, default=0,
+                        help="wavefront pool lanes (0 = auto)")
+        sp.add_argument("--checkpoint", default=None,
+                        help="checkpoint file; resumable with --resume")
+        sp.add_argument("--resume", action="store_true",
+                        help="resume from --checkpoint if it exists")
+        sp.add_argument("--checkpoint-every", type=float, default=30.0,
+                        help="seconds between checkpoint writes")
 
     sp = sub.add_parser("render", help="render a YAML scene")
     common(sp)

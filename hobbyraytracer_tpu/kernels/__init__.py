@@ -1,0 +1,12 @@
+"""Pallas TPU kernels for the hot compute path.
+
+The reference's hottest loops are the recursive BVH descent
+(bvh.cpp:69-78) and the per-triangle watertight test (triangle.cpp:57-109).
+Their TPU-native form is a single fused kernel: per ray-block ordered
+cluster traversal + dense Moller-Trumbore over VMEM-resident leaf
+triangles (kernels/mesh_traverse.py).
+"""
+from .mesh_traverse import (  # noqa: F401
+    mesh_fits_vmem,
+    traverse_clusters_pallas,
+)

@@ -1,0 +1,154 @@
+"""Fused BVH-cluster traversal + triangle intersection as a Pallas kernel.
+
+Replaces the XLA `lax.while_loop` traversal in
+ops/intersect.py:intersect_mesh_clustered for the forward render path. The
+XLA loop is LOCKSTEP: every iteration does a full-wavefront visit, so the
+whole wavefront pays for the worst block's visit count (max over blocks).
+Here the grid iterates ray blocks sequentially on the TPU core and each
+block runs its OWN `while_loop` over its sorted cluster list, terminating
+as soon as the next cluster's entry distance exceeds every ray-in-block's
+best t — total cost is the SUM of per-block visits (mean, not max), which
+is the same early-out economics as the reference's per-ray recursive
+descent (bvh.cpp:69-78) without per-lane divergence.
+
+The whole mesh (MT-precomputed triangle SoA + ids) stays resident in VMEM
+across grid steps; a visit reads its cluster's (9, L) slab directly from
+VMEM — zero HBM traffic in the inner loop. Leaf intersection is classic
+Moller-Trumbore (triangle.cpp:57-109's watertight variant is kept on the
+XLA/differentiable path; the two agree to float rounding, see
+tests/test_kernels.py).
+
+Layout notes (TPU tiling: f32 tiles are (8 sublanes, 128 lanes)):
+- rays are packed (NB, B, 8): lanes = [ox oy oz dx dy dz valid pad], so a
+  block slice is a natural (B, 8) tile and per-component (B, 1) columns
+  broadcast against (1, L) triangle rows into (B, L) pairwise ops;
+- leaf size L = 128 fills the lane axis exactly;
+- the per-block visit ORDER (cluster ids sorted by slab entry) and sorted
+  entry distances are precomputed in XLA (cheap dense slab + argsort) and
+  read as scalars from SMEM to drive the loop.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.mathx import BIG
+
+BLOCK = 256          # rays per block (coherence unit)
+INT_BIG = 2**31 - 1  # python int: closed over as a literal, not a tracer
+# VMEM budget for the resident mesh (tri SoA + ids); larger meshes fall
+# back to the XLA traversal.
+VMEM_MESH_BYTES = 8 * 1024 * 1024
+
+
+def mesh_fits_vmem(k_clusters: int, leaf: int) -> bool:
+    # SoA padded to 16 sublanes (9 -> 16) + int ids
+    return k_clusters * (16 * leaf * 4 + leaf * 4) <= VMEM_MESH_BYTES
+
+
+def _kernel(order_ref, e_ref, rays_ref, tri_ref, id_ref,
+            t_out, id_out, tb, ib, k_clusters: int, t_max: float):
+    r = rays_ref[0]                      # (B, 8)
+    ox, oy, oz = r[:, 0:1], r[:, 1:2], r[:, 2:3]     # (B,1)
+    dx, dy, dz = r[:, 3:4], r[:, 4:5], r[:, 5:6]
+    valid = r[:, 6:7] > 0.0
+
+    tb[:] = jnp.full(tb.shape, BIG, jnp.float32)
+    ib[:] = jnp.full(ib.shape, -1, jnp.int32)
+
+    def cond(c):
+        j, worst = c
+        return (j < k_clusters) & (e_ref[0, 0, j] < worst)
+
+    def body(c):
+        j, worst = c
+        k = order_ref[0, 0, j]
+        blk = tri_ref[k]                 # (9, L) VMEM read
+        ids = id_ref[pl.ds(k, 1), :]     # (1, L) int32
+        v0x, v0y, v0z = blk[0:1, :], blk[1:2, :], blk[2:3, :]   # (1,L)
+        e1x, e1y, e1z = blk[3:4, :], blk[4:5, :], blk[5:6, :]
+        e2x, e2y, e2z = blk[6:7, :], blk[7:8, :], blk[8:9, :]
+        # Moller-Trumbore, all ops (B, L)
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv = 1.0 / jnp.where(det == 0.0, 1.0, det)
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv
+        good = ((det != 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > 0.0) & (t <= t_max) & (ids >= 0))
+        t = jnp.where(good, t, BIG)
+        t_min = jnp.min(t, axis=1, keepdims=True)             # (B,1)
+        take = (t_min < tb[:]) & valid
+        id_min = jnp.min(jnp.where(t == t_min, ids, INT_BIG),
+                         axis=1, keepdims=True)
+        tb[:] = jnp.where(take, t_min, tb[:])
+        ib[:] = jnp.where(take, id_min, ib[:])
+        worst = jnp.max(jnp.where(valid, tb[:], -BIG))
+        return j + 1, worst
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(BIG)))
+    t_out[0] = tb[:]
+    id_out[0] = ib[:]
+
+
+@functools.partial(jax.jit, static_argnames=("t_max", "interpret"))
+def traverse_clusters_pallas(rays8, order, e_sorted, tri_soa, tri_id,
+                             t_max: float = float(BIG),
+                             interpret: bool = False):
+    """rays8: (NB, B, 8) packed rays; order: (NB, K) int32 per-block sorted
+    cluster ids; e_sorted: (NB, K+1) f32 sorted entry distances (+inf
+    sentinel); tri_soa: (K, 9, L) f32; tri_id: (K, L) int32.
+    Returns (t_best (NB, B), tri_id_best (NB, B))."""
+    nb, b, _ = rays8.shape
+    k_clusters, _, leaf = tri_soa.shape
+    kern = functools.partial(_kernel, k_clusters=k_clusters,
+                             t_max=float(t_max))
+    # SMEM blocks need last-two dims equal to the array's; give the scalar
+    # tables a unit sublane axis so (1, 1, K) blocks are legal
+    order3 = order[:, None, :]
+    e3 = e_sorted[:, None, :]
+    t_out, id_out = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1, order.shape[1]), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, e_sorted.shape[1]), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, b, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_clusters, 9, leaf), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_clusters, leaf), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nb, b, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, 1), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(order3, e3, rays8, tri_soa, tri_id)
+    return t_out[..., 0], id_out[..., 0]

@@ -394,73 +394,83 @@ def cluster_entries(rays: Rays, bmin, bmax, t_max):
     return jnp.where(hit, entry, jnp.inf)
 
 
-def select_nearest_clusters(entry, max_clusters: int):
-    """Pick the `max_clusters` nearest-entry clusters per row.
-    entry: (N,K) with inf for misses -> (slots (N,C) int32, valid (N,C)).
-    Rows overlapping more than C clusters lose the farthest ones — with
-    nearest-first ordering those are almost always occluded anyway."""
-    r = jnp.arange(entry.shape[0])
-    slots, valids = [], []
-    e = entry
-    for _ in range(max_clusters):
-        idx = jnp.argmin(e, axis=1).astype(jnp.int32)
-        val = jnp.isfinite(e[r, idx])
-        slots.append(jnp.where(val, idx, 0))
-        valids.append(val)
-        e = e.at[r, idx].set(jnp.inf)
-    return jnp.stack(slots, axis=1), jnp.stack(valids, axis=1)
-
-
 RAY_BLOCK = 64  # rays per visit-list block
 
 
+def _tri_soa(tri_verts):
+    """(K, L, 3, 3) leaf vertices -> Moller-Trumbore SoA (K, 9, L):
+    [v0, e1=v1-v0, e2=v2-v0] with triangles on the minor (lane) axis so
+    gathered cluster blocks stay packed."""
+    v0 = tri_verts[:, :, 0, :]
+    e1 = tri_verts[:, :, 1, :] - v0
+    e2 = tri_verts[:, :, 2, :] - v0
+    soa = jnp.concatenate([v0, e1, e2], axis=2)           # (K, L, 9)
+    return jnp.swapaxes(soa, 1, 2)                        # (K, 9, L)
+
+
 def intersect_mesh_clustered(rays: Rays, tri_verts, tri_id, bmin, bmax,
-                             t_max, max_clusters: int = 12):
+                             t_max, ray_valid=None):
     """Closest triangle via the flattened cluster BVH (scene/bvh.py).
 
-    TPU-shaped traversal: rays are grouped into blocks of RAY_BLOCK; each
-    block computes ONE visit list (the C nearest clusters any of its rays'
-    slab tests hit), then runs dense Moller-Trumbore over the visited
-    clusters' (L) triangles for all (B) rays — (B, L) vector ops with
-    block-granular gathers only. Replaces the reference's per-ray recursive
-    BVHNode::hit (bvh.cpp:69-78) without per-lane divergence.
+    EXACT traversal (replaces the round-1 fixed-C nearest-cluster heuristic
+    that could silently drop geometry): rays are grouped into blocks of
+    RAY_BLOCK; each block sorts the clusters its rays' slab tests entered by
+    nearest entry distance and visits them in that order with a
+    `lax.while_loop`, stopping only when the next cluster's entry exceeds
+    every ray-in-block's current best t (or the entries run out). This is
+    the vectorized equivalent of the reference's recursive ordered descent
+    (BVHNode::hit, bvh.cpp:69-78: box test, then children bounded by the
+    closer child's t) — every entered cluster that could still win IS
+    visited, so no false misses.
 
     tri_verts: (K, L, 3, 3); tri_id: (K, L) int32 (-1 pads); bounds (K,3).
+    ray_valid: optional (R,) bool — lanes to ignore (padded/dead rays do not
+    open clusters or extend the block's termination bound).
     Returns (t_best (R,), global_tri_id (R,) int32, hit (R,) bool).
     """
     n_rays = rays.o.shape[0]
     k_clusters, leaf = tri_id.shape
-    max_clusters = min(max_clusters, k_clusters)
     b = RAY_BLOCK
     n_pad = ((n_rays + b - 1) // b) * b
     nb = n_pad // b
 
     o = _pad(rays.o, n_pad, 0.0).reshape(nb, b, 3)
     d = _pad(rays.d, n_pad, 1.0).reshape(nb, b, 3)
+    if ray_valid is None:
+        ray_valid = jnp.ones((n_rays,), jnp.bool_)
+    valid = _pad(ray_valid, n_pad, False).reshape(nb, b)  # (NB, B)
 
-    # dense ray x cluster slab entries -> per-block nearest-C visit lists
+    # dense ray x cluster slab entries; invalid lanes never open a cluster
     entry = cluster_entries(Rays(o=o.reshape(-1, 3), d=d.reshape(-1, 3)),
-                            bmin, bmax, t_max)           # (n_pad, K)
+                            bmin, bmax, t_max)            # (n_pad, K)
+    entry = jnp.where(valid.reshape(-1)[:, None], entry, jnp.inf)
     block_entry = jnp.min(entry.reshape(nb, b, k_clusters), axis=1)
-    slots, valid = select_nearest_clusters(block_entry, max_clusters)
+    order = jnp.argsort(block_entry, axis=1).astype(jnp.int32)   # (NB, K)
+    e_sorted = jnp.take_along_axis(block_entry, order, axis=1)   # (NB, K)
+    # sentinel column so e_sorted[:, j+1] is always in range
+    e_sorted = jnp.concatenate(
+        [e_sorted, jnp.full((nb, 1), jnp.inf, jnp.float32)], axis=1)
 
-    # MT-precomputed triangle SoA in cluster order, laid out (K, 9, L):
-    # triangles on the minor (lane) axis so gathered blocks stay packed
-    v0 = tri_verts[:, :, 0, :]
-    e1 = tri_verts[:, :, 1, :] - v0
-    e2 = tri_verts[:, :, 2, :] - v0
-    tri_soa = jnp.concatenate([v0, e1, e2], axis=2)       # (K, L, 9)
-    tri_soa = jnp.swapaxes(tri_soa, 1, 2)                 # (K, 9, L)
+    tri_soa = _tri_soa(tri_verts)                         # (K, 9, L)
     pad_ok = tri_id >= 0                                  # (K, L)
 
     ox, oy, oz = o[..., 0:1], o[..., 1:2], o[..., 2:3]    # (NB, B, 1)
     dx, dy, dz = d[..., 0:1], d[..., 1:2], d[..., 2:3]
 
-    def visit(carry, sv):
-        t_best, id_best = carry                           # (NB, B)
-        slot, val = sv                                    # (NB,), (NB,)
+    def col(a, j):
+        return jax.lax.dynamic_slice_in_dim(a, j, 1, axis=1)[:, 0]
+
+    def cond(carry):
+        j, _, _, alive = carry
+        return (j < k_clusters) & jnp.any(alive)
+
+    def body(carry):
+        j, t_best, id_best, alive = carry                 # t/id: (NB, B)
+        slot = col(order, j)                              # (NB,)
+        e_j = col(e_sorted, j)                            # (NB,)
+        visit = alive & jnp.isfinite(e_j)                 # (NB,)
         blk = tri_soa[slot]                               # (NB, 9, L) gather
-        ok = pad_ok[slot] & val[:, None]                  # (NB, L)
+        ok = pad_ok[slot] & visit[:, None]                # (NB, L)
         v0x = blk[:, 0, None, :]                          # (NB, 1, L)
         v0y = blk[:, 1, None, :]
         v0z = blk[:, 2, None, :]
@@ -492,12 +502,65 @@ def intersect_mesh_clustered(rays: Rays, tri_verts, tri_id, bmin, bmax,
         t_c = jnp.min(t, axis=2)
         take = t_c < t_best
         gid = jnp.take_along_axis(tri_id[slot], l_best, axis=1)  # (NB, B)
-        return (jnp.where(take, t_c, t_best),
-                jnp.where(take, gid, id_best)), None
+        t_best = jnp.where(take, t_c, t_best)
+        id_best = jnp.where(take, gid, id_best)
+        # a block stays alive while the NEXT sorted entry could still beat
+        # the worst best-t among its valid rays
+        worst = jnp.max(jnp.where(valid, t_best, -BIG), axis=1)  # (NB,)
+        e_next = col(e_sorted, j + 1)
+        alive = visit & (e_next < worst)
+        return j + 1, t_best, id_best, alive
 
-    init = (jnp.full((nb, b), BIG, jnp.float32),
-            jnp.full((nb, b), -1, jnp.int32))
-    (t_best, id_best), _ = jax.lax.scan(visit, init, (slots.T, valid.T))
+    init = (jnp.int32(0),
+            jnp.full((nb, b), BIG, jnp.float32),
+            jnp.full((nb, b), -1, jnp.int32),
+            jnp.isfinite(col(e_sorted, 0)))
+    _, t_best, id_best, _ = jax.lax.while_loop(cond, body, init)
+    # invalid lanes ride along in their block's vector ops; scrub them
+    t_best = jnp.where(valid, t_best, BIG)
+    id_best = jnp.where(valid, id_best, -1)
+    t_best = t_best.reshape(-1)[:n_rays]
+    id_best = id_best.reshape(-1)[:n_rays]
+    return t_best, id_best, t_best < BIG
+
+
+def intersect_mesh_clustered_pallas(rays: Rays, tri_verts, tri_id, bmin,
+                                    bmax, t_max, ray_valid=None,
+                                    interpret: bool = False):
+    """Same contract as intersect_mesh_clustered, but traversal + leaf
+    intersection run as the fused Pallas kernel
+    (kernels/mesh_traverse.py): per-block dynamic trip counts instead of
+    the XLA loop's lockstep max. Forward-only (no custom VJP — the
+    differentiable path keeps the XLA traversal)."""
+    from ..kernels import mesh_traverse as kmod
+
+    n_rays = rays.o.shape[0]
+    k_clusters = tri_id.shape[0]
+    b = kmod.BLOCK
+    n_pad = ((n_rays + b - 1) // b) * b
+    nb = n_pad // b
+
+    if ray_valid is None:
+        ray_valid = jnp.ones((n_rays,), jnp.bool_)
+    valid = _pad(ray_valid, n_pad, False)
+    o = _pad(rays.o, n_pad, 0.0)
+    d = _pad(rays.d, n_pad, 1.0)
+
+    entry = cluster_entries(Rays(o=o, d=d), bmin, bmax, t_max)
+    entry = jnp.where(valid[:, None], entry, jnp.inf)
+    block_entry = jnp.min(entry.reshape(nb, b, k_clusters), axis=1)
+    order = jnp.argsort(block_entry, axis=1).astype(jnp.int32)
+    e_sorted = jnp.take_along_axis(block_entry, order, axis=1)
+    e_sorted = jnp.concatenate(
+        [e_sorted, jnp.full((nb, 1), jnp.inf, jnp.float32)], axis=1)
+
+    rays8 = jnp.concatenate(
+        [o, d, valid.astype(jnp.float32)[:, None],
+         jnp.zeros((n_pad, 1), jnp.float32)], axis=1).reshape(nb, b, 8)
+    tri_soa = _tri_soa(tri_verts)
+    t_best, id_best = kmod.traverse_clusters_pallas(
+        rays8, order, e_sorted, tri_soa, tri_id, t_max=float(t_max),
+        interpret=interpret)
     t_best = t_best.reshape(-1)[:n_rays]
     id_best = id_best.reshape(-1)[:n_rays]
     return t_best, id_best, t_best < BIG
@@ -505,11 +568,18 @@ def intersect_mesh_clustered(rays: Rays, tri_verts, tri_id, bmin, bmax,
 
 def intersect_triangles_bvh(rays: Rays, verts, normals, uvs, indices,
                             tri_verts, tri_id, bmin, bmax, mat_id, t_max,
-                            max_clusters: int = 12) -> Hits:
+                            ray_valid=None, backend: str = "xla",
+                            interpret: bool = False) -> Hits:
     """Full mesh hit via the cluster BVH: find (t, tri) then interpolate
-    attributes exactly like intersect_triangles."""
-    t, gid, hit = intersect_mesh_clustered(rays, tri_verts, tri_id, bmin,
-                                           bmax, t_max, max_clusters)
+    attributes exactly like intersect_triangles. backend: "xla" (exact
+    lockstep loop, differentiable) or "pallas" (fused TPU kernel)."""
+    if backend == "pallas":
+        t, gid, hit = intersect_mesh_clustered_pallas(
+            rays, tri_verts, tri_id, bmin, bmax, t_max, ray_valid,
+            interpret=interpret)
+    else:
+        t, gid, hit = intersect_mesh_clustered(rays, tri_verts, tri_id,
+                                               bmin, bmax, t_max, ray_valid)
     safe = jnp.maximum(gid, 0)
     i0 = indices[safe, 0]
     i1 = indices[safe, 1]

@@ -108,7 +108,6 @@ class MeshGeom:
     cluster_bmin: Optional[jnp.ndarray] = None  # (K,3)
     cluster_bmax: Optional[jnp.ndarray] = None  # (K,3)
     use_bvh: bool = flax.struct.field(pytree_node=False, default=False)
-    max_clusters: int = flax.struct.field(pytree_node=False, default=16)
 
 
 @flax.struct.dataclass
@@ -151,7 +150,32 @@ class SceneIR:
 
 # ------------------------------------------------------------ intersection
 
-def _intersect_instance(inst: Instance, rays: Rays, t_min) -> Hits:
+def _resolve_mesh_backend(backend: str, mesh: MeshGeom) -> Tuple[str, bool]:
+    """Resolve "auto" to (backend, interpret) for one mesh. The Pallas
+    kernel is forward-only and needs the mesh resident in VMEM; anything
+    else uses the XLA traversal. HRT_NO_PALLAS=1 forces XLA;
+    HRT_PALLAS_INTERPRET=1 runs the kernel in interpreter mode (CPU
+    parity tests)."""
+    import os
+
+    from ..kernels import mesh_fits_vmem
+    if backend != "auto":
+        return backend, False
+    if os.environ.get("HRT_NO_PALLAS"):
+        return "xla", False
+    k, leaf = mesh.cluster_id.shape
+    if not mesh_fits_vmem(k, leaf):
+        return "xla", False
+    if os.environ.get("HRT_PALLAS_INTERPRET"):
+        return "pallas", True
+    platforms = {d.platform.lower() for d in jax.devices()}
+    if platforms & {"tpu", "axon"}:
+        return "pallas", False
+    return "xla", False
+
+
+def _intersect_instance(inst: Instance, rays: Rays, t_min,
+                        ray_valid=None, mesh_backend: str = "xla") -> Hits:
     r = inst.transform.ray_to_object(rays) if inst.transform else rays
     if inst.kind == "sphere":
         h = isect.intersect_spheres(r, inst.spheres.center,
@@ -164,13 +188,15 @@ def _intersect_instance(inst: Instance, rays: Rays, t_min) -> Hits:
     elif inst.kind == "mesh":
         m = inst.mesh
         if m.use_bvh:
+            backend, interpret = _resolve_mesh_backend(mesh_backend, m)
             # leaf vertices regathered from the differentiable vertex array
             safe_id = jnp.maximum(m.cluster_id, 0)
             tri_verts = m.verts[m.indices[safe_id]]  # (K,L,3,3)
             h = isect.intersect_triangles_bvh(
                 r, m.verts, m.normals, m.uvs, m.indices, tri_verts,
                 m.cluster_id, m.cluster_bmin, m.cluster_bmax, m.mat_id,
-                BIG, m.max_clusters)
+                BIG, ray_valid=ray_valid, backend=backend,
+                interpret=interpret)
         else:
             h = isect.intersect_triangles(r, m.verts, m.normals, m.uvs,
                                           m.indices, m.mat_id, BIG)
@@ -244,7 +270,8 @@ def _intersect_medium(med: Medium, rays: Rays, key, bounce, med_index: int,
 
 
 def intersect_scene(scene: SceneIR, rays: Rays, key, bounce,
-                    t_min=mathx.T_MIN) -> Hits:
+                    t_min=mathx.T_MIN, ray_valid=None,
+                    mesh_backend: str = "xla") -> Hits:
     """Closest hit against the whole scene (vectorized HittableList::hit).
 
     Solids are evaluated independently and min-merged (equivalent to the
@@ -252,6 +279,10 @@ def intersect_scene(scene: SceneIR, rays: Rays, key, bounce,
     with t_max = closest solid t, matching the reference when media appear
     after their occluders in the object list (documented divergence: the
     reference is YAML-order-dependent here).
+
+    ray_valid: optional (N,) bool — dead wavefront lanes. Mesh BVH blocks
+    skip clusters only dead lanes would open; dead lanes report no mesh hit
+    (callers mask everything by their own active mask anyway).
     """
     n = rays.o.shape[0]
     best = Hits.none(n)
@@ -265,7 +296,9 @@ def intersect_scene(scene: SceneIR, rays: Rays, key, bounce,
             rays, rt.axis, rt.a0, rt.a1, rt.b0, rt.b1, rt.k, rt.mat_id,
             t_min, BIG))
     for inst in scene.instances:
-        best = closer(best, _intersect_instance(inst, rays, t_min))
+        best = closer(best, _intersect_instance(inst, rays, t_min,
+                                                ray_valid=ray_valid,
+                                                mesh_backend=mesh_backend))
     for i, med in enumerate(scene.media):
         best = closer(best, _intersect_medium(med, rays, key, bounce, i,
                                               t_min, best.t))

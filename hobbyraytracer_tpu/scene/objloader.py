@@ -29,6 +29,11 @@ def parse_obj(path: str):
     native = native_parse(path) if os.path.exists(path) else None
     if native is not None:
         return native
+    return parse_obj_python(path)
+
+
+def parse_obj_python(path: str):
+    """Pure-python OBJ parse (the reference for native-parser parity)."""
     positions, normals_in, uvs_in = [], [], []
     corner_map = {}
     out_pos, out_nrm, out_uv = [], [], []

@@ -216,3 +216,166 @@ def test_aabb_slab():
     assert not bool(isect.aabb_hit(o, inv_d, jnp.asarray([-3.0, -3, -3]),
                                    jnp.asarray([-2.0, -2, -2]), 1e-3,
                                    BIG)[0])
+
+
+# ------------------------------------------------- cluster BVH parity
+
+def _random_mesh(seed, n_tris=400, spread=3.0):
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(-spread, spread, (n_tris, 3)).astype(np.float32)
+    v0 = base
+    v1 = base + rng.normal(0, 0.3, (n_tris, 3)).astype(np.float32)
+    v2 = base + rng.normal(0, 0.3, (n_tris, 3)).astype(np.float32)
+    verts = np.concatenate([v0, v1, v2], axis=0).astype(np.float32)
+    idx = np.arange(3 * n_tris, dtype=np.int32).reshape(3, n_tris).T.copy()
+    return verts, idx
+
+
+def _random_rays(seed, n=512, spread=6.0):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-spread, spread, (n, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return rays(o, d)
+
+
+def _bvh_tables(verts, idx, leaf_size):
+    from hobbyraytracer_tpu.scene.bvh import build_clusters
+    c = build_clusters(verts, idx, leaf_size=leaf_size)
+    return (jnp.asarray(c["tri_verts"]), jnp.asarray(c["tri_id"]),
+            jnp.asarray(c["bmin"]), jnp.asarray(c["bmax"]))
+
+
+def test_bvh_matches_brute_force_random():
+    """The exact traversal must agree with the dense scan on random rays —
+    including rays whose blocks collectively enter many clusters (the
+    round-1 fixed-C heuristic silently tunneled here)."""
+    verts, idx = _random_mesh(0)
+    r = _random_rays(1)
+    tv, tid, bmin, bmax = _bvh_tables(verts, idx, leaf_size=16)
+    t_bvh, gid, hit = isect.intersect_mesh_clustered(
+        r, tv, tid, bmin, bmax, BIG)
+    tri_v0 = jnp.asarray(verts)[jnp.asarray(idx)[:, 0]]
+    tri_v1 = jnp.asarray(verts)[jnp.asarray(idx)[:, 1]]
+    tri_v2 = jnp.asarray(verts)[jnp.asarray(idx)[:, 2]]
+    # dense oracle: every (ray, tri) MT test, windowed 0 < t <= BIG like the
+    # clustered path
+    t_all = []
+    for s in range(0, idx.shape[0], 128):
+        e = min(s + 128, idx.shape[0])
+        tt = isect.triangle_t(r, tri_v0[s:e], tri_v1[s:e], tri_v2[s:e], BIG)
+        t_all.append(np.asarray(tt))
+    t_all = np.concatenate(t_all, axis=1)
+    t_ref = t_all.min(axis=1)
+    hit_ref = t_ref < BIG
+    np.testing.assert_array_equal(np.asarray(hit), hit_ref)
+    # watertight (triangle_t) and plain MT (clustered) differ in rounding;
+    # parity is near-exact t agreement on hits
+    np.testing.assert_allclose(np.asarray(t_bvh)[hit_ref], t_ref[hit_ref],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_bvh_long_diagonal_rays_no_tunneling():
+    """Adversarial: long diagonal rays crossing MANY clusters of a stretched
+    mesh (K >> the old visit cap). Every hit the brute-force path finds must
+    be found by the BVH path."""
+    rng = np.random.default_rng(7)
+    n_tris = 600
+    # mesh stretched along the diagonal so a diagonal ray enters most leaves
+    t_param = np.linspace(0, 1, n_tris, dtype=np.float32)
+    base = np.stack([t_param * 20 - 10] * 3, axis=1)
+    base += rng.normal(0, 0.2, (n_tris, 3)).astype(np.float32)
+    v1 = base + rng.normal(0, 0.15, (n_tris, 3)).astype(np.float32)
+    v2 = base + rng.normal(0, 0.15, (n_tris, 3)).astype(np.float32)
+    verts = np.concatenate([base, v1, v2], 0).astype(np.float32)
+    idx = np.arange(3 * n_tris, dtype=np.int32).reshape(3, n_tris).T.copy()
+    tv, tid, bmin, bmax = _bvh_tables(verts, idx, leaf_size=8)
+    assert tid.shape[0] > 32  # many clusters
+    n = 256
+    o = np.full((n, 3), -12.0, np.float32)
+    o += rng.normal(0, 0.5, (n, 3)).astype(np.float32)
+    d = np.tile(np.asarray([[1.0, 1.0, 1.0]], np.float32), (n, 1))
+    d += rng.normal(0, 0.02, (n, 3)).astype(np.float32)
+    r = rays(o, d)
+    t_bvh, gid, hit = isect.intersect_mesh_clustered(
+        r, tv, tid, bmin, bmax, BIG)
+    h_ref = isect.intersect_triangles(
+        r, jnp.asarray(verts), jnp.zeros_like(jnp.asarray(verts)),
+        jnp.zeros((verts.shape[0], 2), jnp.float32), jnp.asarray(idx),
+        jnp.int32(0), BIG)
+    np.testing.assert_array_equal(np.asarray(hit), np.asarray(h_ref.hit))
+    m = np.asarray(h_ref.hit)
+    np.testing.assert_allclose(np.asarray(t_bvh)[m],
+                               np.asarray(h_ref.t)[m], rtol=2e-4, atol=2e-4)
+
+
+def test_bvh_ray_valid_mask_excluded():
+    """Invalid lanes must not open clusters for their block (and must report
+    no hit themselves)."""
+    verts, idx = _random_mesh(3, n_tris=100)
+    r = _random_rays(4, n=128)
+    tv, tid, bmin, bmax = _bvh_tables(verts, idx, leaf_size=16)
+    valid = np.zeros((128,), bool)
+    valid[::2] = True
+    t1, g1, h1 = isect.intersect_mesh_clustered(
+        r, tv, tid, bmin, bmax, BIG, ray_valid=jnp.asarray(valid))
+    t0, g0, h0 = isect.intersect_mesh_clustered(r, tv, tid, bmin, bmax, BIG)
+    h1 = np.asarray(h1)
+    assert not h1[~valid].any()
+    # valid lanes get exactly the unmasked result
+    np.testing.assert_array_equal(h1[valid], np.asarray(h0)[valid])
+    np.testing.assert_allclose(np.asarray(t1)[valid & h1],
+                               np.asarray(t0)[valid & h1], rtol=1e-6)
+
+
+def test_native_cluster_build_matches_numpy():
+    from hobbyraytracer_tpu.native import build_clusters as native_build
+    from hobbyraytracer_tpu.scene import bvh as bvh_mod
+    verts, idx = _random_mesh(5, n_tris=300)
+    nat = native_build(verts, idx, 32)
+    if nat is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    # numpy path, forced
+    import os
+    tvn = verts[idx]
+    leaves = bvh_mod.median_split_order(tvn.mean(axis=1), 32)
+    # invariants (exact leaf assignment may differ): full coverage, bounds
+    ids = nat["tri_id"]
+    got = np.sort(ids[ids >= 0])
+    np.testing.assert_array_equal(got, np.arange(idx.shape[0]))
+    for k in range(ids.shape[0]):
+        sel = ids[k][ids[k] >= 0]
+        lo = tvn[sel].reshape(-1, 3).min(axis=0)
+        hi = tvn[sel].reshape(-1, 3).max(axis=0)
+        assert (nat["bmin"][k] <= lo + 1e-5).all()
+        assert (nat["bmax"][k] >= hi - 1e-5).all()
+        # leaf verts match the indexed triangles
+        nsel = (ids[k] >= 0).sum()
+        np.testing.assert_allclose(nat["tri_verts"][k][:nsel], tvn[sel],
+                                   rtol=1e-6)
+
+
+def test_native_obj_parse_matches_python():
+    import os
+    import pytest
+    from hobbyraytracer_tpu.native import parse_obj as native_parse
+    from hobbyraytracer_tpu.scene import objloader
+    path = os.path.join(os.path.dirname(__file__), "..", "assets",
+                        "teapot.obj")
+    if not os.path.exists(path):
+        from hobbyraytracer_tpu.scene.fixtures import ensure_assets
+        ensure_assets()
+    nat = native_parse(path)
+    if nat is None:
+        pytest.skip("native lib unavailable")
+    py = objloader.parse_obj_python(path)
+    assert nat["indices"].shape == py["indices"].shape
+    assert nat["verts"].shape == py["verts"].shape
+    # same triangles in the same order, same corner data
+    np.testing.assert_allclose(nat["verts"][nat["indices"]],
+                               py["verts"][py["indices"]], rtol=1e-6)
+    np.testing.assert_allclose(nat["normals"][nat["indices"]],
+                               py["normals"][py["indices"]], rtol=1e-6)
+    np.testing.assert_allclose(nat["uvs"][nat["indices"]],
+                               py["uvs"][py["indices"]], rtol=1e-6)

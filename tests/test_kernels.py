@@ -1,0 +1,105 @@
+"""Pallas kernel parity: the fused traversal/intersection kernel
+(kernels/mesh_traverse.py) must agree with the XLA exact traversal
+(ops/intersect.py:intersect_mesh_clustered) — interpreter mode on CPU."""
+import jax.numpy as jnp
+import numpy as np
+
+from hobbyraytracer_tpu.core.mathx import BIG
+from hobbyraytracer_tpu.core.types import Rays
+from hobbyraytracer_tpu.ops import intersect as isect
+
+
+def _random_mesh(seed, n_tris=500, spread=3.0):
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(-spread, spread, (n_tris, 3)).astype(np.float32)
+    v1 = base + rng.normal(0, 0.3, (n_tris, 3)).astype(np.float32)
+    v2 = base + rng.normal(0, 0.3, (n_tris, 3)).astype(np.float32)
+    verts = np.concatenate([base, v1, v2], axis=0).astype(np.float32)
+    idx = np.arange(3 * n_tris, dtype=np.int32).reshape(3, n_tris).T.copy()
+    return verts, idx
+
+
+def _tables(verts, idx, leaf_size=128):
+    from hobbyraytracer_tpu.scene.bvh import build_clusters
+    c = build_clusters(verts, idx, leaf_size=leaf_size)
+    return (jnp.asarray(c["tri_verts"]), jnp.asarray(c["tri_id"]),
+            jnp.asarray(c["bmin"]), jnp.asarray(c["bmax"]))
+
+
+def _rays(seed, n, spread=6.0):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-spread, spread, (n, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    return Rays(o=jnp.asarray(o), d=jnp.asarray(d))
+
+
+def test_pallas_traversal_matches_xla():
+    verts, idx = _random_mesh(0)
+    tv, tid, bmin, bmax = _tables(verts, idx)
+    r = _rays(1, 600)  # not a multiple of BLOCK: exercises padding
+    t_x, g_x, h_x = isect.intersect_mesh_clustered(r, tv, tid, bmin, bmax,
+                                                   BIG)
+    t_p, g_p, h_p = isect.intersect_mesh_clustered_pallas(
+        r, tv, tid, bmin, bmax, BIG, interpret=True)
+    np.testing.assert_array_equal(np.asarray(h_p), np.asarray(h_x))
+    m = np.asarray(h_x)
+    np.testing.assert_allclose(np.asarray(t_p)[m], np.asarray(t_x)[m],
+                               rtol=1e-6, atol=1e-6)
+    # identical winning triangle except exact t-ties
+    ties = np.asarray(g_p) != np.asarray(g_x)
+    assert (ties & m).mean() < 0.01
+
+
+def test_pallas_traversal_ray_valid():
+    verts, idx = _random_mesh(2, n_tris=200)
+    tv, tid, bmin, bmax = _tables(verts, idx, leaf_size=64)
+    r = _rays(3, 512)
+    valid = np.zeros((512,), bool)
+    valid[::3] = True
+    t_p, g_p, h_p = isect.intersect_mesh_clustered_pallas(
+        r, tv, tid, bmin, bmax, BIG, ray_valid=jnp.asarray(valid),
+        interpret=True)
+    t_x, g_x, h_x = isect.intersect_mesh_clustered(
+        r, tv, tid, bmin, bmax, BIG, ray_valid=jnp.asarray(valid))
+    h_p = np.asarray(h_p)
+    assert not h_p[~valid].any()
+    np.testing.assert_array_equal(h_p, np.asarray(h_x))
+    m = h_p
+    np.testing.assert_allclose(np.asarray(t_p)[m], np.asarray(t_x)[m],
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_full_scene_render_matches_xla():
+    """End-to-end: one wavefront segment with mesh_backend pallas-interpret
+    vs xla on the teapot scene."""
+    import os
+    import jax
+    from hobbyraytracer_tpu.scene import build_scene, load_scene_desc
+    from hobbyraytracer_tpu.scene.fixtures import ensure_assets
+    from hobbyraytracer_tpu.scene import ir as scene_ir
+    from hobbyraytracer_tpu.integrator.path import pixel_grid
+    from hobbyraytracer_tpu.ops.camera import get_rays
+
+    ensure_assets()
+    here = os.path.join(os.path.dirname(__file__), "..", "scenes")
+    job = build_scene(load_scene_desc(os.path.join(here,
+                                                   "teapot_scene.yaml")))
+    key = jax.random.PRNGKey(0)
+    x, y = pixel_grid(64, 64)
+    u = (x + 0.5) / 63.0
+    v = (y + 0.5) / 63.0
+    rays = get_rays(job.camera, u, v, key=key)
+    h_x = scene_ir.intersect_scene(job.scene, rays, key, 0,
+                                   mesh_backend="xla")
+    os.environ["HRT_PALLAS_INTERPRET"] = "1"
+    try:
+        h_p = scene_ir.intersect_scene(job.scene, rays, key, 0,
+                                       mesh_backend="auto")
+    finally:
+        del os.environ["HRT_PALLAS_INTERPRET"]
+    np.testing.assert_array_equal(np.asarray(h_p.hit), np.asarray(h_x.hit))
+    m = np.asarray(h_x.hit)
+    np.testing.assert_allclose(np.asarray(h_p.t)[m], np.asarray(h_x.t)[m],
+                               rtol=2e-4, atol=2e-4)
+    same_mat = np.asarray(h_p.mat_id) == np.asarray(h_x.mat_id)
+    assert same_mat.mean() > 0.99
