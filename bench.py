@@ -24,6 +24,7 @@ def main() -> int:
     import jax
 
     from hobbyraytracer_tpu.integrator import path as path_mod
+    from hobbyraytracer_tpu.integrator import wavefront
     from hobbyraytracer_tpu.scene import build_scene, load_scene_desc
     from hobbyraytracer_tpu.scene.fixtures import ensure_assets
 
@@ -37,24 +38,35 @@ def main() -> int:
     }.get(which, "teapot_scene.yaml")
     width = height = int(os.environ.get("BENCH_SIZE", "640"))
     samples = int(os.environ.get("BENCH_SPP", "100"))
+    integrator = os.environ.get("BENCH_INTEGRATOR", "wavefront")
 
     job = build_scene(load_scene_desc(os.path.join(here, "scenes",
                                                    scene_file)))
     key = jax.random.PRNGKey(0)
-    chunk = max(1, min(samples, 2_000_000 // (width * height)))
 
     # warmup / compile (excluded from the timing, like the reference's
     # load-vs-render split in main.cpp:164-192)
-    img = path_mod.render_image(job.scene, job.camera, width, height,
-                                min(chunk, samples), key,
-                                sample_chunk=chunk)
-    img.block_until_ready()
-
-    t0 = time.time()
-    img = path_mod.render_image(job.scene, job.camera, width, height,
-                                samples, key, sample_chunk=chunk)
-    img.block_until_ready()
-    dt = time.time() - t0
+    if integrator == "wavefront":
+        pool = int(os.environ.get("BENCH_POOL", str(wavefront.DEFAULT_POOL)))
+        img = wavefront.render_image(job.scene, job.camera, width, height,
+                                     1, key, pool=pool)
+        jax.block_until_ready(img)
+        t0 = time.time()
+        img = wavefront.render_image(job.scene, job.camera, width, height,
+                                     samples, key, pool=pool)
+        jax.block_until_ready(img)
+        dt = time.time() - t0
+    else:
+        chunk = max(1, min(samples, 2_000_000 // (width * height)))
+        img = path_mod.render_image(job.scene, job.camera, width, height,
+                                    min(chunk, samples), key,
+                                    sample_chunk=chunk)
+        img.block_until_ready()
+        t0 = time.time()
+        img = path_mod.render_image(job.scene, job.camera, width, height,
+                                    samples, key, sample_chunk=chunk)
+        img.block_until_ready()
+        dt = time.time() - t0
 
     rays_per_s = width * height * samples / dt
     print(json.dumps({

@@ -77,15 +77,21 @@ def init_state(width: int, height: int, pool: int = DEFAULT_POOL
 
 
 def _regenerate(state: PoolState, camera: Camera, width: int, height: int,
-                total_items: int, key) -> PoolState:
-    """Fill idle lanes with fresh camera rays for the next queued items."""
+                total_items: int, key, item0=0) -> PoolState:
+    """Fill idle lanes with fresh camera rays for the next queued items.
+
+    item0: global offset of this worker's item range — state.counter /
+    total_items stay worker-local, but the stored ids (and thus pixel
+    assignment) are global, so sharded workers cover disjoint slices of
+    the same image (parallel/shard.py)."""
     pool = state.item.shape[0]
     wh = width * height
     idle = state.item < 0
     # exclusive prefix rank among idle lanes -> contiguous item ids
     rank = jnp.cumsum(idle.astype(jnp.int32)) - 1
-    new_item = state.counter + rank
-    issue = idle & (new_item < total_items)
+    new_local = state.counter + rank
+    new_item = item0 + new_local
+    issue = idle & (new_local < total_items)
 
     pix = new_item % wh
     x = (pix % width).astype(jnp.float32)
@@ -151,9 +157,9 @@ def _segment(state: PoolState, scene: scene_ir.SceneIR, width: int,
     )
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8), donate_argnums=0)
+@partial(jax.jit, static_argnums=(5, 6, 8), donate_argnums=0)
 def _pool_run(state: PoolState, scene, camera, key, n_steps,
-              width: int, height: int, total_items: int,
+              width: int, height: int, total_items,
               max_depth: int) -> PoolState:
     """Advance the pool by up to n_steps iterations (stops early when the
     whole render is done). Donated state -> in-place buffer reuse."""
@@ -197,7 +203,7 @@ def render_state(scene: scene_ir.SceneIR, camera: Camera, width: int,
     while True:
         state = _pool_run(state, scene, camera, key,
                           jnp.int32(steps_per_call), width, height,
-                          total_items, max_depth)
+                          jnp.int32(total_items), max_depth)
         retired = int(jax.device_get(state.retired))
         if progress_cb is not None:
             progress_cb(retired, total_items)

@@ -187,6 +187,19 @@ def read_bmp(path: str) -> np.ndarray:
 
 # ------------------------------------------------------------------ dispatch
 
+def read_jpg(path: str) -> np.ndarray:
+    """JPEG decode (stb_image handles JPG for ImageTexture,
+    texture.cpp:30-51). Baseline JPEG entropy decode is out of scope for
+    the pure-python codecs above; use Pillow when present, else raise (the
+    texture layer degrades to debug cyan exactly like a missing file)."""
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise ValueError(f"JPEG decode needs Pillow: {path}") from e
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), np.uint8)
+
+
 def read_image(path: str) -> np.ndarray:
     """Decode by extension -> (H,W,C) uint8, like stbi_load.
 
@@ -200,6 +213,8 @@ def read_image(path: str) -> np.ndarray:
         return read_tga(path)
     if p.endswith(".bmp"):
         return read_bmp(path)
+    if p.endswith(".jpg") or p.endswith(".jpeg"):
+        return read_jpg(path)
     if p.endswith(".hdr"):
         from . import hdr
         rgb = hdr.read_hdr(path)

@@ -27,9 +27,13 @@ def lib():
     if os.environ.get("HRT_NO_NATIVE"):
         return None
     so = os.path.join(_HERE, "libhrtnative.so")
-    if not os.path.exists(so):
+    src = os.path.join(_HERE, "objbvh.cpp")
+    stale = (not os.path.exists(so)
+             or (os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(so)))
+    if stale:
         try:
-            subprocess.run(["make", "-C", _HERE], check=True,
+            subprocess.run(["make", "-B", "-C", _HERE], check=True,
                            capture_output=True, timeout=120)
         except Exception as e:  # toolchain missing: fall back silently
             print(f"[native] build skipped ({type(e).__name__}); "

@@ -114,6 +114,14 @@ void* hrt_parse_obj(const char* path) {
                 int64_t v = resolve(vi, pos.size() / 3);
                 int64_t t = has_t ? resolve(ti, uv_in.size() / 2) : -1;
                 int64_t n = has_n ? resolve(ni, nrm_in.size() / 3) : -1;
+                // 21-bit key packing: indices >= 2^21-1 would collide
+                // (0x1FFFFF doubles as the missing-attribute sentinel) —
+                // bail out so callers use the exact python parser instead
+                if (v >= 0x1FFFFF || t >= 0x1FFFFF || n >= 0x1FFFFF ||
+                    v < 0) {
+                    delete mesh;
+                    return nullptr;
+                }
                 uint64_t key = (static_cast<uint64_t>(v) & 0x1FFFFF)
                              | ((static_cast<uint64_t>(t) & 0x1FFFFF) << 21)
                              | ((static_cast<uint64_t>(n) & 0x1FFFFF) << 42);

@@ -93,6 +93,75 @@ def render_sharded(scene, camera, width: int, height: int, samples: int,
     return img.reshape(height, width, 3)
 
 
+def render_wavefront_sharded(scene, camera, width: int, height: int,
+                             samples: int, key, mesh: Mesh,
+                             max_depth: int = path_mod.MAX_DEPTH,
+                             pool: int = 0):
+    """Data-parallel regenerative-wavefront render over the mesh.
+
+    TPU-native version of the reference's per-pixel thread pool
+    (main.cpp:111-135): the (pixel, sample) work queue is split into one
+    contiguous slice per device; `shard_map` runs each device's OWN
+    drain loop (integrator/wavefront.py) over its slice with its own ray
+    pool and RNG stream — zero collectives inside the loop, exactly the
+    reference's embarrassing parallelism — then ONE `psum` merges the
+    per-device framebuffer partials (each device only writes pixels of
+    its own items, so the sum is a disjoint scatter merge).
+
+    Returns the tonemapped (H, W, 3) image. RNG streams differ from the
+    single-device renderer (each worker folds its shard index into the
+    key), so parity with it is statistical, not bitwise.
+    """
+    import jax.numpy as jnp
+    from jax import shard_map
+
+    from ..integrator import wavefront as wf
+    from ..ops import film as film_ops
+
+    n = mesh.devices.size
+    total = width * height * samples
+    per = -(-total // n)  # ceil
+    pool_per = min(max(pool // n, 1) if pool else wf.DEFAULT_POOL // n
+                   or 1, per)
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n))
+    item0 = jnp.arange(n, dtype=jnp.int32) * per
+    tot_local = jnp.clip(jnp.int32(total) - item0, 0, per)
+
+    scene_r = replicate_scene(scene, mesh)
+    camera_r = jax.device_put(camera, NamedSharding(mesh, P()))
+
+    def worker(scene, camera, keys_l, item0_l, tot_l):
+        k = keys_l[0]
+        i0 = item0_l[0]
+        tl = tot_l[0]
+        state = wf.init_state(width, height, pool_per)
+
+        def cond(c):
+            s, _ = c
+            return (s.counter < tl) | jnp.any(s.item >= 0)
+
+        def body(c):
+            s, i = c
+            s = wf._regenerate(s, camera, width, height, tl, k, item0=i0)
+            s = wf._segment(s, scene, width, height, k, max_depth)
+            return s, i + 1
+
+        state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+        return jax.lax.psum(state.fb, RAY_AXIS)
+
+    # check_vma=False: the integrator's scan carries start as replicated
+    # constants and become device-varying on the first iteration — the
+    # varying-type checker rejects that; collective correctness here is
+    # just the single explicit psum above.
+    fb = jax.jit(shard_map(
+        worker, mesh=mesh,
+        in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
+        out_specs=P(), check_vma=False))(
+        scene_r, camera_r, keys, item0, tot_local)
+    img = film_ops.tonemap(fb / jnp.float32(samples))
+    return img.reshape(height, width, 3)
+
+
 def sharded_fit_step(params, rebuild, camera, width, height, key, n_samples,
                      target, mesh: Mesh, opt, opt_state,
                      max_depth: int = 6):

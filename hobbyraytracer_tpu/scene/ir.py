@@ -97,8 +97,10 @@ class MeshGeom:
     When `use_bvh` is set, cluster_* hold the flattened uniform-leaf BVH
     (scene/bvh.py): cluster_id (K,L) global tri ids (-1 pad) and cluster
     bounds (K,3). Leaf triangle vertices are re-gathered from `verts` at
-    trace time so vertex gradients flow through the BVH path too (the
-    bounds stay fixed — valid for small vertex perturbations)."""
+    trace time so vertex gradients flow through the BVH path too; cluster
+    bounds are recomputed from those vertices per traversal (see
+    _intersect_instance), so optimized vertices never drift outside their
+    boxes — the stored bounds are the host build's artifact."""
     verts: jnp.ndarray    # (V,3)
     normals: jnp.ndarray  # (V,3)
     uvs: jnp.ndarray      # (V,2)
@@ -192,9 +194,21 @@ def _intersect_instance(inst: Instance, rays: Rays, t_min,
             # leaf vertices regathered from the differentiable vertex array
             safe_id = jnp.maximum(m.cluster_id, 0)
             tri_verts = m.verts[m.indices[safe_id]]  # (K,L,3,3)
+            # cluster bounds recomputed from the SAME vertices (cheap K*L
+            # reduction): during differentiable fitting optimized vertices
+            # would otherwise drift outside the build-time boxes and hits
+            # would vanish discontinuously. stop_gradient: culling is
+            # discrete, bounds carry no derivative. Build-time bounds
+            # (m.cluster_bmin/bmax) remain the host-build artifact that
+            # parity tests check.
+            pad = (m.cluster_id < 0)[..., None]             # (K,L,1)
+            tmin = jnp.where(pad, BIG, tri_verts.min(axis=2))
+            tmax = jnp.where(pad, -BIG, tri_verts.max(axis=2))
+            bmin = jax.lax.stop_gradient(tmin.min(axis=1) - 1e-4)
+            bmax = jax.lax.stop_gradient(tmax.max(axis=1) + 1e-4)
             h = isect.intersect_triangles_bvh(
                 r, m.verts, m.normals, m.uvs, m.indices, tri_verts,
-                m.cluster_id, m.cluster_bmin, m.cluster_bmax, m.mat_id,
+                m.cluster_id, bmin, bmax, m.mat_id,
                 BIG, ray_valid=ray_valid, backend=backend,
                 interpret=interpret)
         else:
