@@ -29,9 +29,18 @@ MAT_PBR = 5
 MAT_UVTEST = 6
 
 
+_ALL_TYPES = (MAT_LAMBERTIAN, MAT_METAL, MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT,
+              MAT_ISOTROPIC, MAT_PBR, MAT_UVTEST)
+
+
 @flax.struct.dataclass
 class MaterialTable:
-    """M materials; index 0 is a reserved default lambertian 50% grey."""
+    """M materials; index 0 is a reserved default lambertian 50% grey.
+
+    `present` is the STATIC set of material types in the table: scatter()
+    skips absent lobes (and their RNG draws / texture gathers) at trace
+    time — the TPU analogue of the reference never calling a scatter()
+    that no object's vtable points to."""
     mtype: jnp.ndarray         # (M,) int32
     albedo: jnp.ndarray        # (M,3)
     albedo_tex: jnp.ndarray    # (M,) int32, -1 = constant
@@ -42,6 +51,8 @@ class MaterialTable:
     ior: jnp.ndarray           # (M,)  dielectric index of refraction
     metallness: jnp.ndarray    # (M,)  PBR mix constant
     metallness_tex: jnp.ndarray  # (M,) int32
+    present: tuple = flax.struct.field(pytree_node=False,
+                                       default=_ALL_TYPES)
 
 
 def build_table(specs) -> MaterialTable:
@@ -62,6 +73,8 @@ def build_table(specs) -> MaterialTable:
         ior=col("ior", 1.5),
         metallness=col("metallness", 0.0),
         metallness_tex=col("metallness_tex", -1, np.int32),
+        present=tuple(sorted({int(s.get("mtype", MAT_LAMBERTIAN))
+                              for s in specs})),
     )
 
 
@@ -82,6 +95,8 @@ def emitted(mats: MaterialTable, tab: tex_ops.TextureTable,
             hits: Hits) -> jnp.ndarray:
     """Material::emitted — black except DiffuseLight's albedo*strength
     (material.h:67-70, 101-104). Returns (N,3)."""
+    if MAT_DIFFUSE_LIGHT not in mats.present:  # static: no lights at all
+        return jnp.zeros(hits.t.shape + (3,), jnp.float32)
     mid = jnp.maximum(hits.mat_id, 0)
     u, v = hits.uv[..., 0], hits.uv[..., 1]
     alb = _vec3_value(mats.albedo[mid], mats.albedo_tex[mid], tab, u, v,
@@ -109,77 +124,94 @@ def scatter(mats: MaterialTable, tab: tex_ops.TextureTable, rays: Rays,
     u, v = hits.uv[..., 0], hits.uv[..., 1]
     p = hits.p
     nrm = hits.normal
+    # static lobe gating (see MaterialTable.present): absent material
+    # types contribute no sampling code, no RNG draws, no texture gathers
+    present = set(mats.present)
+    has_metal = MAT_METAL in present
+    has_dielectric = MAT_DIELECTRIC in present
+    has_isotropic = MAT_ISOTROPIC in present
+    has_pbr = MAT_PBR in present
+    has_uvtest = MAT_UVTEST in present
 
     albedo = _vec3_value(mats.albedo[mid], mats.albedo_tex[mid], tab, u, v, p)
-    rough = _scalar_value(mats.roughness[mid], mats.roughness_tex[mid],
-                          tab, u, v, p)
+    need_rough = has_metal or has_dielectric or has_pbr
+    rough = (_scalar_value(mats.roughness[mid], mats.roughness_tex[mid],
+                           tab, u, v, p)
+             if need_rough else jnp.zeros((n,), jnp.float32))
 
     # shared random draws (one stream per purpose per bounce)
     sph = rng.unit_sphere(rng.stream(key, rng.SCATTER_SPHERE, bounce), (n,))
-    ball = rng.in_ball(rng.stream(key, rng.SCATTER_BALL, bounce), (n,))
-    u_choice = rng.uniform(rng.stream(key, rng.DIELECTRIC_CHOICE, bounce),
-                           (n,))
 
     unit_d = mathx.normalize(rays.d)
-    unit_n = mathx.normalize(nrm, eps=1e-12)  # eps large enough that the
-    # backward 1/norm^2 terms stay finite in float32
+    unit_n = (mathx.normalize(nrm, eps=1e-12)  # eps large enough that the
+              # backward 1/norm^2 terms stay finite in float32
+              if has_metal or has_pbr else nrm)
 
     # --- Lambertian (material.h:132-157): dir = normal + unit_sphere,
     # near-zero fallback to normal. NOTE the raw (possibly unnormalized)
     # hit normal is used, as in the reference.
     lam_dir = nrm + sph
     lam_dir = jnp.where(mathx.near_zero(lam_dir)[..., None], nrm, lam_dir)
+    new_d = lam_dir  # lambertian & uvtest
+    atten = albedo
+    ok = mt != MAT_DIFFUSE_LIGHT
 
-    # --- Metal (material.h:159-182): reflect(unit_d, unit_n) +
-    # clamp(roughness,<=1)*unit_sphere + FLT_EPSILON; absorb when
-    # dot(scattered, unit_n) <= 0.
-    met_rough = jnp.minimum(jnp.abs(rough), 1.0)
-    met_dir = (mathx.reflect(unit_d, unit_n) + met_rough[..., None] * sph
-               + mathx.EPS_F32)
-    met_ok = mathx.dot(met_dir, unit_n) > 0.0
+    if has_metal or has_pbr:
+        # --- Metal (material.h:159-182): reflect(unit_d, unit_n) +
+        # clamp(roughness,<=1)*unit_sphere + FLT_EPSILON; absorb when
+        # dot(scattered, unit_n) <= 0.
+        met_rough = jnp.minimum(jnp.abs(rough), 1.0)
+        met_dir = (mathx.reflect(unit_d, unit_n)
+                   + met_rough[..., None] * sph + mathx.EPS_F32)
+        met_ok = mathx.dot(met_dir, unit_n) > 0.0
+        if has_metal:
+            sel = (mt == MAT_METAL)
+            new_d = jnp.where(sel[..., None], met_dir, new_d)
+            ok = jnp.where(sel, met_ok, ok)
 
-    # --- Dielectric (material.h:199-242): Schlick + stochastic
-    # reflect/refract with rough offset; attenuation (1,1,1). Uses the raw
-    # hit normal (reference passes rec.normal unnormalized).
-    ior = mats.ior[mid]
-    ratio = jnp.where(hits.front_face, 1.0 / ior, ior)
-    cos_t = jnp.minimum(mathx.dot(-unit_d, nrm), 1.0)
-    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
-    cannot = ratio * sin_t > 1.0
-    refl_p = mathx.schlick(cos_t, ratio)  # reference passes refractionRatio
-    choose_reflect = cannot | (refl_p > u_choice)
-    choose_reflect = jax.lax.stop_gradient(choose_reflect)
-    d_reflect = mathx.reflect(unit_d, nrm)
-    d_refract = mathx.refract(unit_d, nrm, ratio)
-    die_dir = (jnp.where(choose_reflect[..., None], d_reflect, d_refract)
-               + rough[..., None] * sph)
+    if has_dielectric:
+        # --- Dielectric (material.h:199-242): Schlick + stochastic
+        # reflect/refract with rough offset; attenuation (1,1,1). Uses the
+        # raw hit normal (reference passes rec.normal unnormalized).
+        u_choice = rng.uniform(
+            rng.stream(key, rng.DIELECTRIC_CHOICE, bounce), (n,))
+        ior = mats.ior[mid]
+        ratio = jnp.where(hits.front_face, 1.0 / ior, ior)
+        cos_t = jnp.minimum(mathx.dot(-unit_d, nrm), 1.0)
+        sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+        cannot = ratio * sin_t > 1.0
+        refl_p = mathx.schlick(cos_t, ratio)  # ref passes refractionRatio
+        choose_reflect = cannot | (refl_p > u_choice)
+        choose_reflect = jax.lax.stop_gradient(choose_reflect)
+        d_reflect = mathx.reflect(unit_d, nrm)
+        d_refract = mathx.refract(unit_d, nrm, ratio)
+        die_dir = (jnp.where(choose_reflect[..., None], d_reflect,
+                             d_refract) + rough[..., None] * sph)
+        sel = (mt == MAT_DIELECTRIC)
+        new_d = jnp.where(sel[..., None], die_dir, new_d)
+        atten = jnp.where(sel[..., None], jnp.ones((n, 3), jnp.float32),
+                          atten)
 
-    # --- Isotropic (material.h:73-89): uniform-in-ball direction.
-    iso_dir = ball
+    if has_isotropic:
+        # --- Isotropic (material.h:73-89): uniform-in-ball direction.
+        ball = rng.in_ball(rng.stream(key, rng.SCATTER_BALL, bounce), (n,))
+        sel = (mt == MAT_ISOTROPIC)
+        new_d = jnp.where(sel[..., None], ball, new_d)
 
-    # --- PBR (material.cpp:4-27): length(metallness value) > 0.5 -> metal
-    # lobe (roughness), else lambertian; both share albedo.
-    metl = _scalar_value(mats.metallness[mid], mats.metallness_tex[mid],
-                         tab, u, v, p)
-    pbr_is_metal = jnp.abs(metl) > 0.5
-    pbr_dir = jnp.where(pbr_is_metal[..., None], met_dir, lam_dir)
-    pbr_ok = jnp.where(pbr_is_metal, met_ok, True)
+    if has_pbr:
+        # --- PBR (material.cpp:4-27): length(metallness value) > 0.5 ->
+        # metal lobe (roughness), else lambertian; both share albedo.
+        metl = _scalar_value(mats.metallness[mid], mats.metallness_tex[mid],
+                             tab, u, v, p)
+        pbr_is_metal = jnp.abs(metl) > 0.5
+        sel = (mt == MAT_PBR)
+        new_d = jnp.where((sel & pbr_is_metal)[..., None], met_dir, new_d)
+        ok = jnp.where(sel & pbr_is_metal, met_ok, ok)
 
-    # --- UVTest (material.h:111-130): lambertian scatter, attenuation =
-    # raw normal.
-    # assemble by type
-    new_d = jnp.where((mt == MAT_METAL)[..., None], met_dir,
-            jnp.where((mt == MAT_DIELECTRIC)[..., None], die_dir,
-            jnp.where((mt == MAT_ISOTROPIC)[..., None], iso_dir,
-            jnp.where((mt == MAT_PBR)[..., None], pbr_dir,
-                      lam_dir))))  # lambertian & uvtest
+    if has_uvtest:
+        # --- UVTest (material.h:111-130): lambertian scatter,
+        # attenuation = raw normal.
+        atten = jnp.where((mt == MAT_UVTEST)[..., None], nrm, atten)
 
-    atten = jnp.where((mt == MAT_DIELECTRIC)[..., None],
-                      jnp.ones((n, 3), jnp.float32),
-            jnp.where((mt == MAT_UVTEST)[..., None], nrm, albedo))
-
-    ok = jnp.where(mt == MAT_METAL, met_ok,
-         jnp.where(mt == MAT_PBR, pbr_ok,
-         jnp.where(mt == MAT_DIFFUSE_LIGHT, False, True)))
     ok = ok & hits.hit
     return ok, atten, new_d

@@ -35,7 +35,10 @@ def hall_environment(width=512, height=256) -> np.ndarray:
         mask = ((np.abs(((u - az + 0.5) % 1.0) - 0.5) < 0.035)
                 & (v > 0.28) & (v < 0.50))
         img[mask] = np.array([18.0, 16.0, 13.0], np.float32) * (1.0 - 0.1 * i)
-    return img
+    # global ambient level calibrated so the teapot-box render's tonemapped
+    # mean sits near the reference golden Utah-Teapot.png's (the original
+    # old_hall_4k.hdr is a DARK interior hall; see tests/test_golden.py)
+    return img * np.float32(0.14)
 
 
 def ensure_assets(asset_dir: str = ASSET_DIR) -> dict:
