@@ -33,6 +33,10 @@ def cmd_render(args) -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.num_processes and args.num_processes > 1:
+        from ..parallel.shard import init_multihost
+        init_multihost(args.coordinator, args.num_processes,
+                       args.process_id)
 
     from ..integrator import path as path_mod
     from ..integrator import wavefront
@@ -84,11 +88,20 @@ def cmd_render(args) -> int:
                     ckpt.save_state(args.checkpoint, s)
                     last_ck[0] = time.time()
 
-        img = wavefront.render_image(
-            job.scene, job.camera, width, height, samples, key,
-            max_depth=args.max_depth,
-            pool=args.pool or wavefront.DEFAULT_POOL,
-            progress_cb=progress_cb, state=state, checkpoint_cb=ckpt_cb)
+        n_dev = len(jax.devices())
+        if n_dev > 1 and state is None and ckpt_cb is None:
+            # multi-chip: one drain loop per device over its item slice
+            from ..parallel.shard import make_mesh, render_wavefront_sharded
+            img = render_wavefront_sharded(
+                job.scene, job.camera, width, height, samples, key,
+                make_mesh(n_dev), max_depth=args.max_depth,
+                pool=args.pool or wavefront.DEFAULT_POOL)
+        else:
+            img = wavefront.render_image(
+                job.scene, job.camera, width, height, samples, key,
+                max_depth=args.max_depth,
+                pool=args.pool or wavefront.DEFAULT_POOL,
+                progress_cb=progress_cb, state=state, checkpoint_cb=ckpt_cb)
         img = np.asarray(img)
     else:
         chunk = args.chunk
@@ -189,6 +202,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="resume from --checkpoint if it exists")
         sp.add_argument("--checkpoint-every", type=float, default=30.0,
                         help="seconds between checkpoint writes")
+        # multi-host bootstrap (jax.distributed); single host = no-op
+        sp.add_argument("--coordinator", default=None,
+                        help="coordinator address host:port for multi-host")
+        sp.add_argument("--num-processes", type=int, default=None)
+        sp.add_argument("--process-id", type=int, default=None)
 
     sp = sub.add_parser("render", help="render a YAML scene")
     common(sp)

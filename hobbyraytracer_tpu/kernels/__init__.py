@@ -8,5 +8,6 @@ triangles (kernels/mesh_traverse.py).
 """
 from .mesh_traverse import (  # noqa: F401
     mesh_fits_vmem,
+    pack_mesh_soa,
     traverse_clusters_pallas,
 )

@@ -1,4 +1,5 @@
-"""Fused BVH-cluster traversal + triangle intersection as a Pallas kernel.
+"""Fused BVH-cluster traversal + triangle intersection + attribute
+interpolation as a Pallas kernel.
 
 Replaces the XLA `lax.while_loop` traversal in
 ops/intersect.py:intersect_mesh_clustered for the forward render path. The
@@ -7,16 +8,21 @@ whole wavefront pays for the worst block's visit count (max over blocks).
 Here the grid iterates ray blocks sequentially on the TPU core and each
 block runs its OWN `while_loop` over its sorted cluster list, terminating
 as soon as the next cluster's entry distance exceeds every ray-in-block's
-best t — total cost is the SUM of per-block visits (mean, not max), which
-is the same early-out economics as the reference's per-ray recursive
-descent (bvh.cpp:69-78) without per-lane divergence.
+best t (blocks whose rays all miss every cluster do ZERO visits) — total
+cost is the SUM of per-block visits, the same early-out economics as the
+reference's per-ray recursive descent (bvh.cpp:69-78) without per-lane
+divergence.
 
-The whole mesh (MT-precomputed triangle SoA + ids) stays resident in VMEM
-across grid steps; a visit reads its cluster's (9, L) slab directly from
-VMEM — zero HBM traffic in the inner loop. Leaf intersection is classic
-Moller-Trumbore (triangle.cpp:57-109's watertight variant is kept on the
+The whole mesh stays resident in VMEM across grid steps as a (K, 24, L)
+SoA: Moller-Trumbore precomputation [v0, e1, e2] (9 rows), corner shading
+normals (9), corner UVs (6). Leaf intersection is classic Moller-Trumbore
+(triangle.cpp:57-109's watertight variant is kept on the
 XLA/differentiable path; the two agree to float rounding, see
-tests/test_kernels.py).
+tests/test_kernels.py). The winning triangle's smooth normal and UV are
+interpolated INSIDE the kernel from the MT barycentrics — round-2
+profiling showed the XLA gather-based interpolation after the kernel cost
+10x the traversal itself (triangle.cpp:112-128's attribute interpolation,
+without per-ray vertex gathers).
 
 Layout notes (TPU tiling: f32 tiles are (8 sublanes, 128 lanes)):
 - rays are packed (NB, B, 8): lanes = [ox oy oz dx dy dz valid pad], so a
@@ -25,7 +31,9 @@ Layout notes (TPU tiling: f32 tiles are (8 sublanes, 128 lanes)):
 - leaf size L = 128 fills the lane axis exactly;
 - the per-block visit ORDER (cluster ids sorted by slab entry) and sorted
   entry distances are precomputed in XLA (cheap dense slab + argsort) and
-  read as scalars from SMEM to drive the loop.
+  read as scalars from SMEM to drive the loop;
+- outputs pack [t, nx, ny, nz, u, v] into one (NB, B, 8) f32 buffer plus
+  an (NB, B, 1) int32 winning-triangle id.
 """
 from __future__ import annotations
 
@@ -40,25 +48,43 @@ from ..core.mathx import BIG
 
 BLOCK = 256          # rays per block (coherence unit)
 INT_BIG = 2**31 - 1  # python int: closed over as a literal, not a tracer
+SOA_ROWS = 24        # v0,e1,e2 (9) + n0,n1,n2 (9) + uv0,uv1,uv2 (6)
 # VMEM budget for the resident mesh (tri SoA + ids); larger meshes fall
 # back to the XLA traversal.
-VMEM_MESH_BYTES = 8 * 1024 * 1024
+VMEM_MESH_BYTES = 10 * 1024 * 1024
 
 
 def mesh_fits_vmem(k_clusters: int, leaf: int) -> bool:
-    # SoA padded to 16 sublanes (9 -> 16) + int ids
-    return k_clusters * (16 * leaf * 4 + leaf * 4) <= VMEM_MESH_BYTES
+    # SoA padded to 32 sublanes (24 -> 32) + int ids
+    return k_clusters * (32 * leaf * 4 + leaf * 4) <= VMEM_MESH_BYTES
+
+
+def pack_mesh_soa(tri_verts, tri_normals, tri_uvs):
+    """(K,L,3,3) verts / (K,L,3,3) corner normals / (K,L,3,2) corner UVs
+    -> (K, 24, L) SoA with triangles on the minor (lane) axis."""
+    v0 = tri_verts[:, :, 0, :]
+    e1 = tri_verts[:, :, 1, :] - v0
+    e2 = tri_verts[:, :, 2, :] - v0
+    cols = [v0, e1, e2,
+            tri_normals[:, :, 0, :], tri_normals[:, :, 1, :],
+            tri_normals[:, :, 2, :],
+            tri_uvs[:, :, 0, :], tri_uvs[:, :, 1, :], tri_uvs[:, :, 2, :]]
+    soa = jnp.concatenate(cols, axis=2)                   # (K, L, 24)
+    return jnp.swapaxes(soa, 1, 2)                        # (K, 24, L)
 
 
 def _kernel(order_ref, e_ref, rays_ref, tri_ref, id_ref,
-            t_out, id_out, tb, ib, k_clusters: int, t_max: float):
+            out_f, out_i, fb, ib, k_clusters: int, t_max: float):
     r = rays_ref[0]                      # (B, 8)
     ox, oy, oz = r[:, 0:1], r[:, 1:2], r[:, 2:3]     # (B,1)
     dx, dy, dz = r[:, 3:4], r[:, 4:5], r[:, 5:6]
     valid = r[:, 6:7] > 0.0
+    b = r.shape[0]
 
-    tb[:] = jnp.full(tb.shape, BIG, jnp.float32)
+    ch = jax.lax.broadcasted_iota(jnp.int32, (b, 8), 1)
+    fb[:] = jnp.where(ch == 0, BIG, 0.0)  # channel 0 = t, rest zero
     ib[:] = jnp.full(ib.shape, -1, jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tri_ref.shape[2]), 1)
 
     def cond(c):
         j, worst = c
@@ -67,7 +93,7 @@ def _kernel(order_ref, e_ref, rays_ref, tri_ref, id_ref,
     def body(c):
         j, worst = c
         k = order_ref[0, 0, j]
-        blk = tri_ref[k]                 # (9, L) VMEM read
+        blk = tri_ref[k]                 # (24, L) VMEM read
         ids = id_ref[pl.ds(k, 1), :]     # (1, L) int32
         v0x, v0y, v0z = blk[0:1, :], blk[1:2, :], blk[2:3, :]   # (1,L)
         e1x, e1y, e1z = blk[3:4, :], blk[4:5, :], blk[5:6, :]
@@ -91,17 +117,34 @@ def _kernel(order_ref, e_ref, rays_ref, tri_ref, id_ref,
                 & (t > 0.0) & (t <= t_max) & (ids >= 0))
         t = jnp.where(good, t, BIG)
         t_min = jnp.min(t, axis=1, keepdims=True)             # (B,1)
-        take = (t_min < tb[:]) & valid
-        id_min = jnp.min(jnp.where(t == t_min, ids, INT_BIG),
-                         axis=1, keepdims=True)
-        tb[:] = jnp.where(take, t_min, tb[:])
-        ib[:] = jnp.where(take, id_min, ib[:])
-        worst = jnp.max(jnp.where(valid, tb[:], -BIG))
+        take = (t_min < fb[:, 0:1]) & valid
+        # deterministic winning lane (first minimum): one-hot sum-select
+        win = jnp.argmin(t, axis=1)[:, None]                  # (B,1)
+        hot = (lane == win) & good                            # (B,L)
+
+        def pick(x):                     # (B,L) -> (B,1) value at win lane
+            return jnp.sum(jnp.where(hot, x, 0.0), axis=1, keepdims=True)
+
+        # smooth normal + UV from MT barycentrics (triangle.cpp:112-128)
+        w0 = 1.0 - u - v
+        nx = w0 * blk[9:10, :] + u * blk[12:13, :] + v * blk[15:16, :]
+        ny = w0 * blk[10:11, :] + u * blk[13:14, :] + v * blk[16:17, :]
+        nz = w0 * blk[11:12, :] + u * blk[14:15, :] + v * blk[17:18, :]
+        uu = w0 * blk[18:19, :] + u * blk[20:21, :] + v * blk[22:23, :]
+        vv = w0 * blk[19:20, :] + u * blk[21:22, :] + v * blk[23:24, :]
+        cand = jnp.concatenate(
+            [t_min, pick(nx), pick(ny), pick(nz), pick(uu), pick(vv),
+             jnp.zeros((b, 2), jnp.float32)], axis=1)        # (B,8)
+        id_win = jnp.sum(jnp.where(hot, ids, 0), axis=1,
+                         keepdims=True)                       # (B,1)
+        fb[:] = jnp.where(take, cand, fb[:])
+        ib[:] = jnp.where(take, id_win, ib[:])
+        worst = jnp.max(jnp.where(valid, fb[:, 0:1], -BIG))
         return j + 1, worst
 
     jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(BIG)))
-    t_out[0] = tb[:]
-    id_out[0] = ib[:]
+    out_f[0] = fb[:]
+    out_i[0] = ib[:]
 
 
 @functools.partial(jax.jit, static_argnames=("t_max", "interpret"))
@@ -110,17 +153,19 @@ def traverse_clusters_pallas(rays8, order, e_sorted, tri_soa, tri_id,
                              interpret: bool = False):
     """rays8: (NB, B, 8) packed rays; order: (NB, K) int32 per-block sorted
     cluster ids; e_sorted: (NB, K+1) f32 sorted entry distances (+inf
-    sentinel); tri_soa: (K, 9, L) f32; tri_id: (K, L) int32.
-    Returns (t_best (NB, B), tri_id_best (NB, B))."""
+    sentinel); tri_soa: (K, 24, L) f32 (pack_mesh_soa); tri_id: (K, L)
+    int32. Returns (out (NB, B, 8) f32 = [t nx ny nz u v 0 0],
+    tri_id_best (NB, B) int32)."""
     nb, b, _ = rays8.shape
-    k_clusters, _, leaf = tri_soa.shape
+    k_clusters, rows, leaf = tri_soa.shape
+    assert rows == SOA_ROWS, rows
     kern = functools.partial(_kernel, k_clusters=k_clusters,
                              t_max=float(t_max))
     # SMEM blocks need last-two dims equal to the array's; give the scalar
     # tables a unit sublane axis so (1, 1, K) blocks are legal
     order3 = order[:, None, :]
     e3 = e_sorted[:, None, :]
-    t_out, id_out = pl.pallas_call(
+    out_f, out_i = pl.pallas_call(
         kern,
         grid=(nb,),
         in_specs=[
@@ -130,25 +175,25 @@ def traverse_clusters_pallas(rays8, order, e_sorted, tri_soa, tri_id,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, b, 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_clusters, 9, leaf), lambda i: (0, 0, 0),
+            pl.BlockSpec((k_clusters, SOA_ROWS, leaf), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k_clusters, leaf), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, b, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, b, 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nb, b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nb, b, 8), jnp.float32),
             jax.ShapeDtypeStruct((nb, b, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((b, 1), jnp.float32),
+            pltpu.VMEM((b, 8), jnp.float32),
             pltpu.VMEM((b, 1), jnp.int32),
         ],
         interpret=interpret,
     )(order3, e3, rays8, tri_soa, tri_id)
-    return t_out[..., 0], id_out[..., 0]
+    return out_f, out_i[..., 0]

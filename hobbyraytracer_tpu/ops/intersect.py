@@ -526,16 +526,24 @@ def intersect_mesh_clustered(rays: Rays, tri_verts, tri_id, bmin, bmax,
 
 def intersect_mesh_clustered_pallas(rays: Rays, tri_verts, tri_id, bmin,
                                     bmax, t_max, ray_valid=None,
-                                    interpret: bool = False):
+                                    interpret: bool = False,
+                                    tri_normals=None, tri_uvs=None):
     """Same contract as intersect_mesh_clustered, but traversal + leaf
-    intersection run as the fused Pallas kernel
+    intersection + attribute interpolation run as the fused Pallas kernel
     (kernels/mesh_traverse.py): per-block dynamic trip counts instead of
-    the XLA loop's lockstep max. Forward-only (no custom VJP — the
-    differentiable path keeps the XLA traversal)."""
+    the XLA loop's lockstep max, and the winning triangle's smooth
+    normal/UV come straight out of the kernel (round-2 profiling: the
+    gather-based XLA interpolation cost 10x the traversal). Forward-only
+    (no custom VJP — the differentiable path keeps the XLA traversal).
+
+    tri_normals (K,L,3,3) / tri_uvs (K,L,3,2): per-leaf corner attributes;
+    zeros when omitted (pure-occlusion queries).
+    Returns (t (R,), gid (R,) int32, hit (R,), normal (R,3), uv (R,2)).
+    """
     from ..kernels import mesh_traverse as kmod
 
     n_rays = rays.o.shape[0]
-    k_clusters = tri_id.shape[0]
+    k_clusters, leaf = tri_id.shape
     b = kmod.BLOCK
     n_pad = ((n_rays + b - 1) // b) * b
     nb = n_pad // b
@@ -557,13 +565,18 @@ def intersect_mesh_clustered_pallas(rays: Rays, tri_verts, tri_id, bmin,
     rays8 = jnp.concatenate(
         [o, d, valid.astype(jnp.float32)[:, None],
          jnp.zeros((n_pad, 1), jnp.float32)], axis=1).reshape(nb, b, 8)
-    tri_soa = _tri_soa(tri_verts)
-    t_best, id_best = kmod.traverse_clusters_pallas(
+    if tri_normals is None:
+        tri_normals = jnp.zeros(tri_verts.shape, jnp.float32)
+    if tri_uvs is None:
+        tri_uvs = jnp.zeros((k_clusters, leaf, 3, 2), jnp.float32)
+    tri_soa = kmod.pack_mesh_soa(tri_verts, tri_normals, tri_uvs)
+    out, id_best = kmod.traverse_clusters_pallas(
         rays8, order, e_sorted, tri_soa, tri_id, t_max=float(t_max),
         interpret=interpret)
-    t_best = t_best.reshape(-1)[:n_rays]
+    out = out.reshape(-1, 8)[:n_rays]
+    t_best = out[:, 0]
     id_best = id_best.reshape(-1)[:n_rays]
-    return t_best, id_best, t_best < BIG
+    return (t_best, id_best, t_best < BIG, out[:, 1:4], out[:, 4:6])
 
 
 def intersect_triangles_bvh(rays: Rays, verts, normals, uvs, indices,
@@ -572,14 +585,22 @@ def intersect_triangles_bvh(rays: Rays, verts, normals, uvs, indices,
                             interpret: bool = False) -> Hits:
     """Full mesh hit via the cluster BVH: find (t, tri) then interpolate
     attributes exactly like intersect_triangles. backend: "xla" (exact
-    lockstep loop, differentiable) or "pallas" (fused TPU kernel)."""
+    lockstep loop, differentiable) or "pallas" (fused TPU kernel with
+    in-kernel attribute interpolation — no per-ray vertex gathers)."""
     if backend == "pallas":
-        t, gid, hit = intersect_mesh_clustered_pallas(
+        safe_cl = jnp.maximum(tri_id, 0)                  # (K,L)
+        corner = indices[safe_cl]                         # (K,L,3)
+        t, gid, hit, normal, uv = intersect_mesh_clustered_pallas(
             rays, tri_verts, tri_id, bmin, bmax, t_max, ray_valid,
-            interpret=interpret)
-    else:
-        t, gid, hit = intersect_mesh_clustered(rays, tri_verts, tri_id,
-                                               bmin, bmax, t_max, ray_valid)
+            interpret=interpret, tri_normals=normals[corner],
+            tri_uvs=uvs[corner])
+        front = jnp.sum(rays.d * normal, axis=-1) < 0.0
+        return Hits(hit=hit, t=jnp.where(hit, t, BIG),
+                    p=ray_at(rays.o, rays.d, jnp.where(hit, t, 1.0)),
+                    normal=normal, uv=uv, front_face=front,
+                    mat_id=jnp.where(hit, mat_id, -1))
+    t, gid, hit = intersect_mesh_clustered(rays, tri_verts, tri_id,
+                                           bmin, bmax, t_max, ray_valid)
     safe = jnp.maximum(gid, 0)
     i0 = indices[safe, 0]
     i1 = indices[safe, 1]

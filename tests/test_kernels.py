@@ -39,7 +39,7 @@ def test_pallas_traversal_matches_xla():
     r = _rays(1, 600)  # not a multiple of BLOCK: exercises padding
     t_x, g_x, h_x = isect.intersect_mesh_clustered(r, tv, tid, bmin, bmax,
                                                    BIG)
-    t_p, g_p, h_p = isect.intersect_mesh_clustered_pallas(
+    t_p, g_p, h_p, _, _ = isect.intersect_mesh_clustered_pallas(
         r, tv, tid, bmin, bmax, BIG, interpret=True)
     np.testing.assert_array_equal(np.asarray(h_p), np.asarray(h_x))
     m = np.asarray(h_x)
@@ -56,7 +56,7 @@ def test_pallas_traversal_ray_valid():
     r = _rays(3, 512)
     valid = np.zeros((512,), bool)
     valid[::3] = True
-    t_p, g_p, h_p = isect.intersect_mesh_clustered_pallas(
+    t_p, g_p, h_p, _, _ = isect.intersect_mesh_clustered_pallas(
         r, tv, tid, bmin, bmax, BIG, ray_valid=jnp.asarray(valid),
         interpret=True)
     t_x, g_x, h_x = isect.intersect_mesh_clustered(
@@ -103,3 +103,17 @@ def test_pallas_full_scene_render_matches_xla():
                                rtol=2e-4, atol=2e-4)
     same_mat = np.asarray(h_p.mat_id) == np.asarray(h_x.mat_id)
     assert same_mat.mean() > 0.99
+    # in-kernel attribute interpolation (MT barycentrics) vs the XLA
+    # watertight interpolation: same up to fp + rare tie-breaking
+    mesh_hit = m & (np.asarray(h_x.mat_id) == int(
+        np.asarray(job.scene.instances[0].mesh.mat_id)))
+    if mesh_hit.any():
+        n_p = np.asarray(h_p.normal)[mesh_hit]
+        n_x = np.asarray(h_x.normal)[mesh_hit]
+        cos = (n_p * n_x).sum(1) / np.maximum(
+            np.linalg.norm(n_p, axis=1) * np.linalg.norm(n_x, axis=1),
+            1e-12)
+        assert (cos > 0.999).mean() > 0.98, (cos > 0.999).mean()
+        uv_p = np.asarray(h_p.uv)[mesh_hit]
+        uv_x = np.asarray(h_x.uv)[mesh_hit]
+        assert (np.abs(uv_p - uv_x) < 2e-3).all(axis=1).mean() > 0.98
