@@ -61,6 +61,9 @@ def cmd_render(args) -> int:
     key = jax.random.PRNGKey(args.seed)
     total_px = width * height
     import numpy as np
+    if getattr(args, "profile", None):
+        jax.profiler.start_trace(args.profile)
+    t_render0 = time.time()
 
     if args.integrator == "wavefront":
         # periodic progress at <= ~500 ms cadence (main.cpp:95-109's
@@ -113,16 +116,24 @@ def cmd_render(args) -> int:
                                     samples, key, max_depth=args.max_depth,
                                     sample_chunk=chunk)
         img = np.asarray(img)
+    t_render = time.time() - t_render0
+    if getattr(args, "profile", None):
+        jax.profiler.stop_trace()
+        print(f"\n[profile trace written to {args.profile}]")
     _progress(total_px, total_px)
     print()
 
+    t_enc0 = time.time()
     rc = film_ops.output_film(film_ops.quantize(img), output)
+    t_enc = time.time() - t_enc0
 
     dt = time.time() - t_start
     print(f"\nDone! (completed in {_hms(dt)})")
     rays = width * height * samples
-    print(f"[{rays / max(dt, 1e-9):,.0f} primary rays/s "
-          f"({width}x{height} @ {samples}spp in {dt:.1f}s)]")
+    print(f"[{rays / max(t_render, 1e-9):,.0f} primary rays/s "
+          f"({width}x{height} @ {samples}spp; load "
+          f"{t_render0 - t_start:.1f}s render {t_render:.1f}s "
+          f"encode {t_enc:.1f}s)]")
     return rc
 
 
@@ -207,6 +218,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="coordinator address host:port for multi-host")
         sp.add_argument("--num-processes", type=int, default=None)
         sp.add_argument("--process-id", type=int, default=None)
+        sp.add_argument("--profile", default=None, metavar="DIR",
+                        help="write a jax.profiler trace of the render "
+                             "to DIR (view with xprof/tensorboard)")
 
     sp = sub.add_parser("render", help="render a YAML scene")
     common(sp)

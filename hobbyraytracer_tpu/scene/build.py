@@ -292,6 +292,16 @@ def build_scene(desc: SceneDesc) -> RenderJob:
                     btype="sphere",
                     center=jnp.asarray(b["center"], jnp.float32),
                     radius=jnp.asarray(b["radius"], jnp.float32), **common))
+            elif b["type"] == "mesh":
+                path = desc.resolve_path(b["path"])
+                try:
+                    bm = objloader.parse_obj(path)
+                except (OSError, ValueError) as e:
+                    print(f"ERROR: Couldn't load file: {b['path']} ({e})")
+                    continue
+                print(f"Loaded file: {b['path']}")  # mesh.cpp:117
+                media.append(ir.Medium(
+                    btype="mesh", mesh=_mesh_geom(bm, phase_id), **common))
             else:
                 media.append(ir.Medium(
                     btype="box",

@@ -125,15 +125,17 @@ class Instance:
 
 @flax.struct.dataclass
 class Medium:
-    """Constant-density medium (reference: constantMedium.h/.cpp). Boundary
-    restricted to convex closed forms (sphere | axis-aligned box); the
-    reference's YAML grammar exposes no medium at all (SURVEY.md §2.2), so
-    this is the documented schema extension."""
-    btype: str = flax.struct.field(pytree_node=False)  # 'sphere' | 'box'
+    """Constant-density medium (reference: constantMedium.h/.cpp). The
+    reference wraps ANY Hittable (constantMedium.h:10-14); here the
+    boundary is sphere | axis-aligned box | closed mesh. (The reference's
+    YAML grammar exposes no medium at all, SURVEY.md §2.2 — this is the
+    documented schema extension.)"""
+    btype: str = flax.struct.field(pytree_node=False)  # sphere|box|mesh
     center: jnp.ndarray = None   # (3,) sphere
     radius: jnp.ndarray = None   # ()   sphere
     bmin: jnp.ndarray = None     # (3,) box
     bmax: jnp.ndarray = None     # (3,) box
+    mesh: Optional["MeshGeom"] = None  # mesh boundary
     neg_inv_density: jnp.ndarray = None  # () = -1/density
     mat_id: jnp.ndarray = None   # () phase-function material (isotropic)
     transform: Optional[Transform] = None
@@ -248,7 +250,41 @@ def _medium_span(med: Medium, r: Rays):
             lo = lo_ax if lo is None else jnp.maximum(lo, lo_ax)
             hi = hi_ax if hi is None else jnp.minimum(hi, hi_ax)
         return lo, hi, hi > lo
+    elif med.btype == "mesh":
+        # any-Hittable boundary (constantMedium.h:10-14): first hit =
+        # entry; exit = first hit of a re-cast from just past it. A ray
+        # starting INSIDE a closed boundary sees its first hit as the
+        # exit (span [0, t1]); non-convex boundaries contribute their
+        # first span only (documented approximation — the reference's
+        # own mesh path would return the same first two crossings).
+        m = med.mesh
+        t1, h1 = _mesh_first_t(m, r, BIG)
+        eps = 1e-4  # constantMedium.cpp:11's re-cast offset
+        o2 = r.o + r.d * (t1 + eps)[:, None]
+        t2r, h2 = _mesh_first_t(m, Rays(o=o2, d=r.d), BIG)
+        t2 = t1 + eps + t2r
+        t_enter = jnp.where(h2, t1, 0.0)
+        t_exit = jnp.where(h2, t2, t1)
+        return t_enter, t_exit, h1
     raise ValueError(med.btype)
+
+
+def _mesh_first_t(m: MeshGeom, r: Rays, t_max):
+    """Nearest-hit parameter against a mesh (t only, no attributes)."""
+    if m.use_bvh:
+        safe_id = jnp.maximum(m.cluster_id, 0)
+        tri_verts = m.verts[m.indices[safe_id]]
+        pad = (m.cluster_id < 0)[..., None]
+        tmin = jnp.where(pad, BIG, tri_verts.min(axis=2))
+        tmax_ = jnp.where(pad, -BIG, tri_verts.max(axis=2))
+        bmin = jax.lax.stop_gradient(tmin.min(axis=1) - 1e-4)
+        bmax = jax.lax.stop_gradient(tmax_.max(axis=1) + 1e-4)
+        t, _, hit = isect.intersect_mesh_clustered(
+            r, tri_verts, m.cluster_id, bmin, bmax, t_max)
+        return t, hit
+    h = isect.intersect_triangles(r, m.verts, m.normals, m.uvs, m.indices,
+                                  m.mat_id, t_max)
+    return h.t, h.hit
 
 
 def _intersect_medium(med: Medium, rays: Rays, key, bounce, med_index: int,

@@ -256,6 +256,10 @@ def load_scene_desc(path: str) -> SceneDesc:
                     "type": "box",
                     "min": _vec3(b, "min", "boundary"),
                     "max": _vec3(b, "max", "boundary")}
+            elif btype == "mesh":  # any-Hittable boundary (see ir.Medium)
+                od.params["boundary"] = {
+                    "type": "mesh",
+                    "path": str(_require(b, "path", "boundary"))}
             else:
                 raise SceneError(f"unsupported medium boundary: {btype}")
         else:
