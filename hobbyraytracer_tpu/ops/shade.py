@@ -53,6 +53,11 @@ class MaterialTable:
     metallness_tex: jnp.ndarray  # (M,) int32
     present: tuple = flax.struct.field(pytree_node=False,
                                        default=_ALL_TYPES)
+    # static per-channel "any material uses a texture here" flags: a
+    # constant-only channel skips the texture gather entirely
+    textured: tuple = flax.struct.field(
+        pytree_node=False,
+        default=("albedo", "roughness", "strength", "metallness"))
 
 
 def build_table(specs) -> MaterialTable:
@@ -75,18 +80,28 @@ def build_table(specs) -> MaterialTable:
         metallness_tex=col("metallness_tex", -1, np.int32),
         present=tuple(sorted({int(s.get("mtype", MAT_LAMBERTIAN))
                               for s in specs})),
+        textured=tuple(f for f in ("albedo", "roughness", "strength",
+                                   "metallness")
+                       if any(int(s.get(f + "_tex", -1)) >= 0
+                              for s in specs)),
     )
 
 
-def _vec3_value(constant, tex_id, tab, u, v, p):
-    """MatVec3::valueAt — constant unless tex_id >= 0 (material.h:10-35)."""
+def _vec3_value(constant, tex_id, tab, u, v, p, textured=True):
+    """MatVec3::valueAt — constant unless tex_id >= 0 (material.h:10-35).
+    textured=False (static): no material in the table uses a texture for
+    this channel, skip the lookup."""
+    if not textured:
+        return constant
     from_tex = tex_ops.colour_value(tab, tex_id, u, v, p)
     return jnp.where((tex_id >= 0)[..., None], from_tex, constant)
 
 
-def _scalar_value(constant, tex_id, tab, u, v, p):
+def _scalar_value(constant, tex_id, tab, u, v, p, textured=True):
     """MatScalar::valueAt — constant or length(texture rgb)
     (material.h:37-58)."""
+    if not textured:
+        return constant
     from_tex = tex_ops.scalar_value(tab, tex_id, u, v, p)
     return jnp.where(tex_id >= 0, from_tex, constant)
 
@@ -100,9 +115,9 @@ def emitted(mats: MaterialTable, tab: tex_ops.TextureTable,
     mid = jnp.maximum(hits.mat_id, 0)
     u, v = hits.uv[..., 0], hits.uv[..., 1]
     alb = _vec3_value(mats.albedo[mid], mats.albedo_tex[mid], tab, u, v,
-                      hits.p)
+                      hits.p, "albedo" in mats.textured)
     s = _scalar_value(mats.strength[mid], mats.strength_tex[mid], tab, u, v,
-                      hits.p)
+                      hits.p, "strength" in mats.textured)
     e = alb * s[..., None]
     is_light = (mats.mtype[mid] == MAT_DIFFUSE_LIGHT) & hits.hit
     return jnp.where(is_light[..., None], e, 0.0)
@@ -133,10 +148,11 @@ def scatter(mats: MaterialTable, tab: tex_ops.TextureTable, rays: Rays,
     has_pbr = MAT_PBR in present
     has_uvtest = MAT_UVTEST in present
 
-    albedo = _vec3_value(mats.albedo[mid], mats.albedo_tex[mid], tab, u, v, p)
+    albedo = _vec3_value(mats.albedo[mid], mats.albedo_tex[mid], tab, u, v,
+                         p, "albedo" in mats.textured)
     need_rough = has_metal or has_dielectric or has_pbr
     rough = (_scalar_value(mats.roughness[mid], mats.roughness_tex[mid],
-                           tab, u, v, p)
+                           tab, u, v, p, "roughness" in mats.textured)
              if need_rough else jnp.zeros((n,), jnp.float32))
 
     # shared random draws (one stream per purpose per bounce)
@@ -202,7 +218,7 @@ def scatter(mats: MaterialTable, tab: tex_ops.TextureTable, rays: Rays,
         # --- PBR (material.cpp:4-27): length(metallness value) > 0.5 ->
         # metal lobe (roughness), else lambertian; both share albedo.
         metl = _scalar_value(mats.metallness[mid], mats.metallness_tex[mid],
-                             tab, u, v, p)
+                             tab, u, v, p, "metallness" in mats.textured)
         pbr_is_metal = jnp.abs(metl) > 0.5
         sel = (mt == MAT_PBR)
         new_d = jnp.where((sel & pbr_is_metal)[..., None], met_dir, new_d)
