@@ -63,7 +63,7 @@ def render_linear(scene: scene_ir.SceneIR, camera, width: int, height: int,
     integrator. Returns (W*H, 3)."""
     x, y = path_mod.pixel_grid(width, height)
 
-    def one_sample(s, acc):
+    def one_sample(acc, s):
         k = jax.random.fold_in(key, s)
         ku, kv, kt = jax.random.split(k, 3)
         ju = jax.random.uniform(ku, x.shape, jnp.float32)
@@ -72,13 +72,14 @@ def render_linear(scene: scene_ir.SceneIR, camera, width: int, height: int,
         v = (y + jv) / (height - 1)
         from ..ops.camera import get_rays
         rays = get_rays(camera, u, v, key=kt)
-        return acc + path_mod.trace_diff(scene, rays, kt, max_depth)
+        return acc + path_mod.trace_diff(scene, rays, kt, max_depth), None
 
     acc = jnp.zeros((width * height, 3), jnp.float32)
-    # fori_loop is fine for reverse-mode when the body is scan-free?? No:
-    # keep a static python loop over samples (n_samples is small for fits)
-    for s in range(n_samples):
-        acc = one_sample(s, acc)
+    # scan + per-sample remat: reverse-mode memory stays at ONE sample's
+    # bounce chain regardless of n_samples (each sample is recomputed in
+    # the backward pass; trace_diff remats each bounce the same way)
+    acc, _ = jax.lax.scan(jax.checkpoint(one_sample), acc,
+                          jnp.arange(n_samples, dtype=jnp.int32))
     return acc / jnp.float32(n_samples)
 
 

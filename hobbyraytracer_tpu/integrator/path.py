@@ -122,8 +122,11 @@ def trace_diff(scene: scene_ir.SceneIR, rays: Rays, key: jax.Array,
 
     init = (rays.o, rays.d, jnp.zeros((n, 3), jnp.float32),
             jnp.ones((n, 3), jnp.float32), jnp.ones((n,), jnp.bool_))
+    # rematerialize each bounce in the backward pass: reverse-mode memory
+    # is O(depth x carry) instead of O(depth x every intermediate) —
+    # without this, fits above toy sizes OOM long before HBM is the limit
     (_, _, result, _, _), _ = jax.lax.scan(
-        body, init, jnp.arange(max_depth, dtype=jnp.int32))
+        jax.checkpoint(body), init, jnp.arange(max_depth, dtype=jnp.int32))
     return result
 
 
