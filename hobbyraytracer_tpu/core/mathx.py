@@ -9,7 +9,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-EPS_F32 = jnp.float32(1.1920929e-07)  # FLT_EPSILON
+# plain python floats: a module-level jnp constant would initialize the
+# XLA backend at import time, breaking jax.distributed.initialize ordering
+EPS_F32 = 1.1920929e-07  # FLT_EPSILON
 NEAR_ZERO = 1e-8  # reference: hobbyraytracer.h:34-38 (nearZero, s = 1e-8)
 T_MIN = 1e-3      # reference: main.cpp:45 shadow epsilon
 BIG = 1e30        # stand-in for +INFINITY in closest-hit windows

@@ -138,10 +138,10 @@ def intersect_spheres(rays: Rays, center, radius, mat_id, t_min, t_max,
 # (+unit on axis n), matching YZRect/XZRect/XYRect (aarect.h:5-144):
 #   yz_rect: n=0 (x), a=y, b=z;  xz_rect: n=1 (y), a=x, b=z;
 #   xy_rect: n=2 (z), a=x, b=y.
+# plain tuples, materialized per-trace: module-level jnp arrays would
+# initialize the XLA backend at import (breaks jax.distributed ordering)
 _AXIS_A_LIST = (1, 0, 0)
 _AXIS_B_LIST = (2, 2, 1)
-_AXIS_A = jnp.array(_AXIS_A_LIST, jnp.int32)
-_AXIS_B = jnp.array(_AXIS_B_LIST, jnp.int32)
 
 
 def rect_t(rays: Rays, axis, a0, a1, b0, b1, k, t_min, t_max):
@@ -206,8 +206,8 @@ def intersect_rects(rays: Rays, axis, a0, a1, b0, b1, k, mat_id,
     safe = jnp.minimum(jnp.maximum(idx, 0), n - 1)
     ax = axis[safe]
     p = ray_at(rays.o, rays.d, jnp.where(hit, t, 1.0))
-    ia = _AXIS_A[ax]
-    ib = _AXIS_B[ax]
+    ia = jnp.asarray(_AXIS_A_LIST, jnp.int32)[ax]
+    ib = jnp.asarray(_AXIS_B_LIST, jnp.int32)[ax]
     rr = jnp.arange(n_rays)
     pa = p[rr, ia]
     pb = p[rr, ib]
