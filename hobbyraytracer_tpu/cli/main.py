@@ -170,7 +170,9 @@ def cmd_fit(args) -> int:
 
     res = fit_materials(perturbed, job.camera, target, w, h,
                         steps=args.steps, n_samples=args.spp,
-                        max_depth=args.max_depth, key=key)
+                        max_depth=args.max_depth, key=key,
+                        fit_vertices=args.fit_vertices,
+                        boundary=args.boundary)
     print(f"final loss: {float(res.losses[-1]):.6f} "
           f"(start {float(res.losses[0]):.6f})")
     return 0 if res.losses[-1] < res.losses[0] else 1
@@ -229,6 +231,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("fit", help="differentiable material fit demo")
     common(sp)
     sp.add_argument("--steps", type=int, default=30)
+    sp.add_argument("--fit-vertices", action="store_true",
+                    help="also optimize mesh vertex positions")
+    sp.add_argument("--boundary", action="store_true",
+                    help="add edge-sampled silhouette gradients to the "
+                         "vertex fit (diff/edges.py)")
     sp.set_defaults(fn=cmd_fit, spp=4, max_depth=6)
 
     sp = sub.add_parser("bench", help="run the benchmark")

@@ -83,17 +83,23 @@ def render_linear(scene: scene_ir.SceneIR, camera, width: int, height: int,
     return acc / jnp.float32(n_samples)
 
 
+def _loss_from_image(img, target, tonemapped: bool = True):
+    """L2 between (W*H,3) linear radiance images, optionally in
+    tonemapped space."""
+    if tonemapped:
+        from ..ops import film
+        img = film.tonemap(img, grad_eps=1e-6)
+        target = film.tonemap(target, grad_eps=1e-6)
+    return jnp.mean((img - target) ** 2)
+
+
 def render_loss(params, rebuild, camera, width, height, key, n_samples,
                 target, max_depth: int = 6, tonemapped: bool = True):
     """L2 image loss against `target` ((W*H,3) linear or tonemapped)."""
     scene = rebuild(params)
     img = render_linear(scene, camera, width, height, key, n_samples,
                         max_depth)
-    if tonemapped:
-        from ..ops import film
-        img = film.tonemap(img, grad_eps=1e-6)
-        target = film.tonemap(target, grad_eps=1e-6)
-    return jnp.mean((img - target) ** 2)
+    return _loss_from_image(img, target, tonemapped)
 
 
 class FitResult(NamedTuple):
@@ -105,8 +111,9 @@ class FitResult(NamedTuple):
 def fit_materials(scene: scene_ir.SceneIR, camera, target, width, height,
                   steps: int = 50, lr: float = 2e-2, n_samples: int = 4,
                   max_depth: int = 6, key=None, fit_vertices: bool = False,
-                  verbose: bool = True,
-                  correlated: bool = True) -> FitResult:
+                  verbose: bool = True, correlated: bool = True,
+                  boundary: bool = False,
+                  boundary_samples: int = 4096) -> FitResult:
     """Adam fit of material parameters (and optionally mesh vertices) to a
     target image. target: (W*H, 3) linear radiance.
 
@@ -114,17 +121,59 @@ def fit_materials(scene: scene_ir.SceneIR, camera, target, width, height,
     target was rendered with the same key/spp, the Monte Carlo noise
     cancels between render and target and the optimum is exact (standard
     correlated-sampling trick for inverse path tracing). Set False for
-    independent per-step noise (real captured targets)."""
+    independent per-step noise (real captured targets).
+
+    `boundary=True` (with fit_vertices) adds the edge-sampled silhouette
+    term (diff/edges.py) to each mesh's vertex gradient — without it,
+    vertex positions only feel the smooth shading-chain gradient, which
+    is ZERO for problems dominated by occlusion/silhouette (e.g. moving
+    an emissive shape into place)."""
     key = key if key is not None else jax.random.PRNGKey(0)
     params, rebuild = select_params(scene, fit_vertices)
     opt = optax.adam(lr)
     opt_state = opt.init(params)
+
+    edge_tables = None
+    if boundary and fit_vertices:
+        import numpy as np
+
+        from . import edges as edge_mod
+        edge_tables = []
+        for inst in scene.instances:
+            if inst.kind == "mesh":
+                e, f = edge_mod.build_edge_table(
+                    np.asarray(inst.mesh.indices))
+                edge_tables.append((jnp.asarray(e), jnp.asarray(f),
+                                    inst.mesh.indices))
+
+    @jax.jit
+    def boundary_terms(params, k):
+        """Silhouette gradients for every fitted mesh at the current
+        parameters, weighted by dL/dI of the current render."""
+        from . import edges as edge_mod
+        cur = rebuild(params)
+        img = render_linear(cur, camera, width, height, k, n_samples,
+                            max_depth)
+        w_img = jax.grad(
+            lambda im: _loss_from_image(im, target))(img)
+        w2d = w_img.reshape(height, width, 3)
+
+        def radiance_fn(rays):
+            return path_mod.trace(cur, rays, k, max_depth)
+
+        return [edge_mod.boundary_grad(
+            v, e, f, idx, camera, w2d, width, height, radiance_fn, k,
+            n_samples=boundary_samples)
+            for v, (e, f, idx) in zip(params["verts"], edge_tables)]
 
     @jax.jit
     def step(params, opt_state, k):
         loss, grads = jax.value_and_grad(render_loss)(
             params, rebuild, camera, width, height, k, n_samples, target,
             max_depth)
+        if edge_tables is not None:
+            bg = boundary_terms(params, k)
+            grads["verts"] = [g + b for g, b in zip(grads["verts"], bg)]
         updates, opt_state = opt.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
         # keep physical ranges

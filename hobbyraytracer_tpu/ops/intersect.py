@@ -556,6 +556,24 @@ def intersect_mesh_clustered_pallas(rays: Rays, tri_verts, tri_id, bmin,
 
     entry = cluster_entries(Rays(o=o, d=d), bmin, bmax, t_max)
     entry = jnp.where(valid[:, None], entry, jnp.inf)
+
+    # coherence sort: group rays by their nearest-entry cluster (ties by
+    # entry distance), rays that miss every cluster packed LAST — whole
+    # blocks of missers exit the kernel loop after zero visits, and
+    # same-first-cluster blocks open ~2x fewer clusters (mid-render
+    # wavefronts are incoherent; measured 2x total-visit reduction).
+    # The reference gets this "for free" from per-ray recursion.
+    e_min = jnp.min(entry, axis=1)
+    first = jnp.argmin(entry, axis=1).astype(jnp.int32)
+    anyhit = jnp.isfinite(e_min)
+    sort_key = jnp.where(anyhit,
+                         first.astype(jnp.float32) * 1e6
+                         + jnp.minimum(e_min, 9e5),
+                         jnp.float32(k_clusters) * 1e6)
+    perm = jnp.argsort(sort_key)
+    inv = jnp.argsort(perm)
+
+    entry = entry[perm]
     block_entry = jnp.min(entry.reshape(nb, b, k_clusters), axis=1)
     order = jnp.argsort(block_entry, axis=1).astype(jnp.int32)
     e_sorted = jnp.take_along_axis(block_entry, order, axis=1)
@@ -564,7 +582,8 @@ def intersect_mesh_clustered_pallas(rays: Rays, tri_verts, tri_id, bmin,
 
     rays8 = jnp.concatenate(
         [o, d, valid.astype(jnp.float32)[:, None],
-         jnp.zeros((n_pad, 1), jnp.float32)], axis=1).reshape(nb, b, 8)
+         jnp.zeros((n_pad, 1), jnp.float32)], axis=1)[perm].reshape(
+        nb, b, 8)
     if tri_normals is None:
         tri_normals = jnp.zeros(tri_verts.shape, jnp.float32)
     if tri_uvs is None:
@@ -573,9 +592,9 @@ def intersect_mesh_clustered_pallas(rays: Rays, tri_verts, tri_id, bmin,
     out, id_best = kmod.traverse_clusters_pallas(
         rays8, order, e_sorted, tri_soa, tri_id, t_max=float(t_max),
         interpret=interpret)
-    out = out.reshape(-1, 8)[:n_rays]
+    out = out.reshape(-1, 8)[inv][:n_rays]      # undo the coherence sort
     t_best = out[:, 0]
-    id_best = id_best.reshape(-1)[:n_rays]
+    id_best = id_best.reshape(-1)[inv][:n_rays]
     return (t_best, id_best, t_best < BIG, out[:, 1:4], out[:, 4:6])
 
 

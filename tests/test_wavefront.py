@@ -56,6 +56,20 @@ def test_matches_batch_integrator_radiometry(cornell):
     assert corr > 0.85, corr
 
 
+def test_wavefront_media_scene():
+    """Constant-density media inside the wavefront loop: the smoke scene
+    must render finite and show the smoke boxes occluding the walls."""
+    ensure_assets()
+    job = build_scene(load_scene_desc(os.path.join(HERE,
+                                                   "cornell_smoke.yaml")))
+    img = wavefront.render_image(job.scene, job.camera, 32, 32, 16,
+                                 jax.random.PRNGKey(0), max_depth=16,
+                                 pool=1024)
+    a = np.asarray(img)
+    assert np.isfinite(a).all()
+    assert 0.01 < a.mean() < 0.9, a.mean()
+
+
 def test_progress_callback_fires(cornell):
     seen = []
     wavefront.render_state(cornell.scene, cornell.camera, 8, 8, 2,
