@@ -33,6 +33,8 @@ def cmd_render(args) -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     if args.num_processes and args.num_processes > 1:
         from ..parallel.shard import init_multihost
         init_multihost(args.coordinator, args.num_processes,
@@ -223,6 +225,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--profile", default=None, metavar="DIR",
                         help="write a jax.profiler trace of the render "
                              "to DIR (view with xprof/tensorboard)")
+        sp.add_argument("--debug-nans", action="store_true",
+                        help="jax debug_nans: fail loudly on the first "
+                             "NaN instead of scrubbing at the film "
+                             "(the TPU analogue of a sanitizer run)")
 
     sp = sub.add_parser("render", help="render a YAML scene")
     common(sp)
