@@ -618,12 +618,25 @@ def intersect_triangles_bvh(rays: Rays, verts, normals, uvs, indices,
                     p=ray_at(rays.o, rays.d, jnp.where(hit, t, 1.0)),
                     normal=normal, uv=uv, front_face=front,
                     mat_id=jnp.where(hit, mat_id, -1))
-    t, gid, hit = intersect_mesh_clustered(rays, tri_verts, tri_id,
-                                           bmin, bmax, t_max, ray_valid)
+    # the exact ordered traversal runs behind stop_gradient (its
+    # while_loop has no transpose rule); everything differentiable is
+    # REPLAYED from the winning triangle id: t via the watertight formula,
+    # attributes via barycentrics — the same path-replay discipline the
+    # shading chain uses for discrete decisions
+    sg = jax.lax.stop_gradient
+    t_nd, gid, hit = intersect_mesh_clustered(
+        Rays(o=sg(rays.o), d=sg(rays.d)), sg(tri_verts), tri_id,
+        sg(bmin), sg(bmax), t_max, ray_valid)
     safe = jnp.maximum(gid, 0)
     i0 = indices[safe, 0]
     i1 = indices[safe, 1]
     i2 = indices[safe, 2]
+    t_replay = triangle_t(rays, verts[i0][:, None, :],
+                          verts[i1][:, None, :], verts[i2][:, None, :],
+                          t_max)[:, 0]
+    # grazing hits can numerically miss on replay: fall back to the
+    # traversal's (non-differentiable) t so the value never degrades
+    t = jnp.where(t_replay < BIG, t_replay, sg(t_nd))
     b0, b1, b2 = triangle_attribs(rays, verts[i0], verts[i1], verts[i2])
     w = lambda a: (b0[:, None] * a[i0] + b1[:, None] * a[i1]
                    + b2[:, None] * a[i2])
