@@ -97,3 +97,25 @@ def cross(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def ray_at(o: jnp.ndarray, d: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """ray::at — o + t*d (reference: ray.h)."""
     return o + t[..., None] * d
+
+
+def take_rows(table: jnp.ndarray, idx: jnp.ndarray,
+              max_select: int = 8) -> jnp.ndarray:
+    """`table[idx]` for a SMALL leading axis without a device gather.
+
+    XLA lowers a wavefront-sized row gather on TPU to roughly a
+    microsecond per row (round-2 profiling: the material/texture table
+    gathers rivaled the whole traversal kernel); for tables of
+    <= max_select rows a compare+select chain is pure wavefront-wide VPU
+    work instead. Larger tables fall back to the native gather. Gradients
+    flow to each selected row exactly as the gather's would.
+    """
+    m = table.shape[0]
+    if m > max_select or m == 0:
+        return table[idx]
+    expand = (Ellipsis,) + (None,) * (table.ndim - 1)
+    out = jnp.broadcast_to(table[0], idx.shape + table.shape[1:])
+    for i in range(1, m):
+        sel = (idx == i)[expand]
+        out = jnp.where(sel, table[i], out)
+    return out

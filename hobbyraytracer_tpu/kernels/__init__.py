@@ -7,7 +7,9 @@ cluster traversal + dense Moller-Trumbore over VMEM-resident leaf
 triangles (kernels/mesh_traverse.py).
 """
 from .mesh_traverse import (  # noqa: F401
+    coherence_keys_pallas,
     mesh_fits_vmem,
+    pack_bounds,
     pack_mesh_soa,
     traverse_clusters_pallas,
 )

@@ -6,32 +6,44 @@ ops/intersect.py:intersect_mesh_clustered for the forward render path. The
 XLA loop is LOCKSTEP: every iteration does a full-wavefront visit, so the
 whole wavefront pays for the worst block's visit count (max over blocks).
 Here the grid iterates ray blocks sequentially on the TPU core and each
-block runs its OWN `while_loop` over its sorted cluster list, terminating
-as soon as the next cluster's entry distance exceeds every ray-in-block's
-best t (blocks whose rays all miss every cluster do ZERO visits) — total
-cost is the SUM of per-block visits, the same early-out economics as the
+block runs its OWN `while_loop`, terminating as soon as the nearest
+unvisited cluster's entry distance exceeds every ray-in-block's best t
+(blocks whose rays all miss every cluster do ZERO visits) — total cost is
+the SUM of per-block visits, the same early-out economics as the
 reference's per-ray recursive descent (bvh.cpp:69-78) without per-lane
 divergence.
 
-The whole mesh stays resident in VMEM across grid steps as a (K, 24, L)
-SoA: Moller-Trumbore precomputation [v0, e1, e2] (9 rows), corner shading
-normals (9), corner UVs (6). Leaf intersection is classic Moller-Trumbore
-(triangle.cpp:57-109's watertight variant is kept on the
-XLA/differentiable path; the two agree to float rounding, see
-tests/test_kernels.py). The winning triangle's smooth normal and UV are
-interpolated INSIDE the kernel from the MT barycentrics — round-2
-profiling showed the XLA gather-based interpolation after the kernel cost
-10x the traversal itself (triangle.cpp:112-128's attribute interpolation,
-without per-ray vertex gathers).
+Round-2 profiling on the real chip showed the PREVIOUS design's XLA-side
+preprocessing (a dense (rays x clusters) slab-entry matrix in HBM feeding
+per-block argsorts) cost ~9x the traversal kernel itself (52 ms of a
+58 ms scene intersect at 262k rays). So the kernel now does everything
+on-chip:
+
+- the cluster slab test (AABB::hit, aabb.h:26-39) runs INSIDE the kernel
+  on the (B, K) block-local matrix in VMEM — the full (R, K) matrix never
+  exists anywhere;
+- the near-to-far visit ORDER is argmin-extraction over the block's entry
+  row (visit nearest unvisited cluster, mask it to +inf, repeat while the
+  nearest remaining entry could still beat the block's worst best-t) —
+  exactly the ordered descent of bvh.cpp:69-78, no pre-sort at all;
+- leaf intersection is classic Moller-Trumbore (the reference's watertight
+  variant, triangle.cpp:57-109, is kept on the XLA/differentiable path;
+  the two agree to float rounding, tests/test_kernels.py);
+- the winning triangle's smooth normal/UV are interpolated in-kernel from
+  the MT barycentrics (triangle.cpp:112-128) — round-2 profiling showed
+  XLA gather-based interpolation after the kernel cost 10x the traversal.
+
+A second tiny kernel (`coherence_keys_pallas`) produces the per-ray
+(nearest-entry distance, nearest cluster id) pair that drives the optional
+wavefront coherence sort, again without materializing (R, K).
 
 Layout notes (TPU tiling: f32 tiles are (8 sublanes, 128 lanes)):
 - rays are packed (NB, B, 8): lanes = [ox oy oz dx dy dz valid pad], so a
   block slice is a natural (B, 8) tile and per-component (B, 1) columns
   broadcast against (1, L) triangle rows into (B, L) pairwise ops;
 - leaf size L = 128 fills the lane axis exactly;
-- the per-block visit ORDER (cluster ids sorted by slab entry) and sorted
-  entry distances are precomputed in XLA (cheap dense slab + argsort) and
-  read as scalars from SMEM to drive the loop;
+- cluster bounds arrive as one (8, K) f32 table: rows [bmin.xyz, bmax.xyz,
+  0, 0] with clusters on the lane axis;
 - outputs pack [t, nx, ny, nz, u, v] into one (NB, B, 8) f32 buffer plus
   an (NB, B, 1) int32 winning-triangle id.
 """
@@ -46,12 +58,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.mathx import BIG
 
-BLOCK = 256          # rays per block (coherence unit)
-INT_BIG = 2**31 - 1  # python int: closed over as a literal, not a tracer
+BLOCK = 256          # rays per traversal block (coherence unit)
+KEY_BLOCK = 2048     # rays per coherence-key block
 SOA_ROWS = 24        # v0,e1,e2 (9) + n0,n1,n2 (9) + uv0,uv1,uv2 (6)
 # VMEM budget for the resident mesh (tri SoA + ids); larger meshes fall
 # back to the XLA traversal.
 VMEM_MESH_BYTES = 10 * 1024 * 1024
+_INF = float("inf")
 
 
 def mesh_fits_vmem(k_clusters: int, leaf: int) -> bool:
@@ -73,7 +86,39 @@ def pack_mesh_soa(tri_verts, tri_normals, tri_uvs):
     return jnp.swapaxes(soa, 1, 2)                        # (K, 24, L)
 
 
-def _kernel(order_ref, e_ref, rays_ref, tri_ref, id_ref,
+def pack_bounds(bmin, bmax):
+    """(K,3)/(K,3) cluster bounds -> (8, K) f32 rows [bmin.xyz, bmax.xyz,
+    0, 0] (clusters on the lane axis)."""
+    rows = jnp.concatenate([bmin.T, bmax.T,
+                            jnp.zeros((2, bmin.shape[0]), jnp.float32)],
+                           axis=0)
+    return rows.astype(jnp.float32)
+
+
+def _slab_entries(r, bounds, t_max: float):
+    """Block-local cluster slab test (aabb.h:26-39 semantics as in
+    ops/intersect.py:cluster_entries). r: (B, 8) packed rays, bounds:
+    (8, K). Returns (B, K) entry distance (>=0), +inf where missed or the
+    lane is invalid."""
+    valid = r[:, 6:7] > 0.0
+    lo = None
+    hi = None
+    for ax in range(3):
+        o_ax = r[:, ax:ax + 1]                            # (B,1)
+        d_ax = r[:, 3 + ax:4 + ax]
+        inv = 1.0 / jnp.where(jnp.abs(d_ax) < 1e-30, 1e-30, d_ax)
+        t0 = (bounds[ax:ax + 1, :] - o_ax) * inv          # (B,K)
+        t1 = (bounds[3 + ax:4 + ax, :] - o_ax) * inv
+        lo_ax = jnp.minimum(t0, t1)
+        hi_ax = jnp.maximum(t0, t1)
+        lo = lo_ax if lo is None else jnp.maximum(lo, lo_ax)
+        hi = hi_ax if hi is None else jnp.minimum(hi, hi_ax)
+    entry = jnp.maximum(lo, 0.0)
+    ok = (hi > entry) & (entry < t_max) & valid
+    return jnp.where(ok, entry, _INF)
+
+
+def _kernel(rays_ref, bounds_ref, tri_ref, id_ref,
             out_f, out_i, fb, ib, k_clusters: int, t_max: float):
     r = rays_ref[0]                      # (B, 8)
     ox, oy, oz = r[:, 0:1], r[:, 1:2], r[:, 2:3]     # (B,1)
@@ -85,14 +130,22 @@ def _kernel(order_ref, e_ref, rays_ref, tri_ref, id_ref,
     fb[:] = jnp.where(ch == 0, BIG, 0.0)  # channel 0 = t, rest zero
     ib[:] = jnp.full(ib.shape, -1, jnp.int32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, tri_ref.shape[2]), 1)
+    klane = jax.lax.broadcasted_iota(jnp.int32, (1, k_clusters), 1)
+
+    entry = _slab_entries(r, bounds_ref[:], t_max)        # (B,K)
+    block_e = jnp.min(entry, axis=0, keepdims=True)       # (1,K)
 
     def cond(c):
-        j, worst = c
-        return (j < k_clusters) & (e_ref[0, 0, j] < worst)
+        rem, worst = c
+        # visit while the nearest unvisited cluster could still win
+        return jnp.min(rem) < worst
 
     def body(c):
-        j, worst = c
-        k = order_ref[0, 0, j]
+        rem, worst = c
+        # nearest unvisited cluster (scalar argmin as min+first-match —
+        # plain scalar reductions, no argmin-to-scalar lowering needed)
+        e_cur = jnp.min(rem)
+        k = jnp.min(jnp.where(rem == e_cur, klane, k_clusters))
         blk = tri_ref[k]                 # (24, L) VMEM read
         ids = id_ref[pl.ds(k, 1), :]     # (1, L) int32
         v0x, v0y, v0z = blk[0:1, :], blk[1:2, :], blk[2:3, :]   # (1,L)
@@ -140,40 +193,35 @@ def _kernel(order_ref, e_ref, rays_ref, tri_ref, id_ref,
         fb[:] = jnp.where(take, cand, fb[:])
         ib[:] = jnp.where(take, id_win, ib[:])
         worst = jnp.max(jnp.where(valid, fb[:, 0:1], -BIG))
-        return j + 1, worst
+        rem = jnp.where(klane == k, _INF, rem)                # mark visited
+        return rem, worst
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(BIG)))
+    jax.lax.while_loop(cond, body, (block_e, jnp.float32(BIG)))
     out_f[0] = fb[:]
     out_i[0] = ib[:]
 
 
 @functools.partial(jax.jit, static_argnames=("t_max", "interpret"))
-def traverse_clusters_pallas(rays8, order, e_sorted, tri_soa, tri_id,
+def traverse_clusters_pallas(rays8, bounds8, tri_soa, tri_id,
                              t_max: float = float(BIG),
                              interpret: bool = False):
-    """rays8: (NB, B, 8) packed rays; order: (NB, K) int32 per-block sorted
-    cluster ids; e_sorted: (NB, K+1) f32 sorted entry distances (+inf
-    sentinel); tri_soa: (K, 24, L) f32 (pack_mesh_soa); tri_id: (K, L)
+    """rays8: (NB, B, 8) packed rays; bounds8: (8, K) cluster bounds
+    (pack_bounds); tri_soa: (K, 24, L) f32 (pack_mesh_soa); tri_id: (K, L)
     int32. Returns (out (NB, B, 8) f32 = [t nx ny nz u v 0 0],
     tri_id_best (NB, B) int32)."""
     nb, b, _ = rays8.shape
     k_clusters, rows, leaf = tri_soa.shape
     assert rows == SOA_ROWS, rows
+    assert bounds8.shape == (8, k_clusters), bounds8.shape
     kern = functools.partial(_kernel, k_clusters=k_clusters,
                              t_max=float(t_max))
-    # SMEM blocks need last-two dims equal to the array's; give the scalar
-    # tables a unit sublane axis so (1, 1, K) blocks are legal
-    order3 = order[:, None, :]
-    e3 = e_sorted[:, None, :]
     out_f, out_i = pl.pallas_call(
         kern,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, 1, order.shape[1]), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, e_sorted.shape[1]), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, b, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, k_clusters), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k_clusters, SOA_ROWS, leaf), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -195,5 +243,54 @@ def traverse_clusters_pallas(rays8, order, e_sorted, tri_soa, tri_id,
             pltpu.VMEM((b, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(order3, e3, rays8, tri_soa, tri_id)
+    )(rays8, bounds8, tri_soa, tri_id)
     return out_f, out_i[..., 0]
+
+
+def _key_kernel(rays_ref, bounds_ref, out_e, out_k, t_max: float):
+    r = rays_ref[0]                                        # (TB, 8)
+    entry = _slab_entries(r, bounds_ref[:], t_max)         # (TB, K)
+    k = entry.shape[1]
+    klane = jax.lax.broadcasted_iota(jnp.int32, entry.shape, 1)
+    e_min = jnp.min(entry, axis=1, keepdims=True)          # (TB, 1)
+    # first-minimum index via min+match (Mosaic rejects argmin over f32
+    # vectors: unresolved f32->i32 materialization)
+    first = jnp.min(jnp.where(entry == e_min, klane, k), axis=1)
+    out_e[0, 0] = e_min[:, 0]
+    out_k[0, 0] = jnp.where(jnp.isfinite(e_min[:, 0]), first, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("t_max", "interpret"))
+def coherence_keys_pallas(rays8, bounds8, t_max: float = float(BIG),
+                          interpret: bool = False):
+    """Per-ray (nearest cluster entry distance, nearest cluster id) for the
+    wavefront coherence sort. rays8: (NT, TB, 8); bounds8: (8, K).
+    Returns (e_min (NT, 1, TB) f32 [+inf = misses every cluster],
+    first (NT, 1, TB) int32)."""
+    nt, tb, _ = rays8.shape
+    k_clusters = bounds8.shape[1]
+    kern = functools.partial(_key_kernel, t_max=float(t_max))
+    return pl.pallas_call(
+        kern,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, tb, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, k_clusters), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            # unit sublane axis: a (1, TB) block fails the TPU tiling
+            # rule (second-to-last dim must be a multiple of 8 or equal
+            # to the array's), a (1, 1, TB) block satisfies it exactly
+            pl.BlockSpec((1, 1, tb), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tb), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, 1, tb), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 1, tb), jnp.int32),
+        ],
+        interpret=interpret,
+    )(rays8, bounds8)

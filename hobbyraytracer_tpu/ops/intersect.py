@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..core.mathx import BIG, ray_at
+from ..core.mathx import BIG, ray_at, take_rows as _take
 from ..core.types import Hits, Rays, set_face_normal
 
 # chunk of primitives processed per scan step; keeps the (R x chunk)
@@ -122,14 +122,14 @@ def intersect_spheres(rays: Rays, center, radius, mat_id, t_min, t_max,
     t, idx = _chunked_argmin(per_chunk, np_, n_rays, chunk)
     hit = t < BIG
     safe = jnp.minimum(jnp.maximum(idx, 0), n - 1)
-    c = center[safe]
-    r = jnp.maximum(radius[safe], 1e-20)
+    c = _take(center, safe)
+    r = jnp.maximum(_take(radius, safe), 1e-20)
     p = ray_at(rays.o, rays.d, jnp.where(hit, t, 1.0))
     outward = (p - c) / r[:, None]
     normal, front = set_face_normal(rays.d, outward)
     return Hits(hit=hit, t=jnp.where(hit, t, BIG), p=p, normal=normal,
                 uv=sphere_uv(outward), front_face=front,
-                mat_id=jnp.where(hit, mat_id[safe], -1))
+                mat_id=jnp.where(hit, _take(mat_id, safe), -1))
 
 
 # ------------------------------------------------------------------ rects
@@ -204,20 +204,22 @@ def intersect_rects(rays: Rays, axis, a0, a1, b0, b1, k, mat_id,
     t, idx = _chunked_argmin(per_chunk, np_, n_rays, chunk)
     hit = t < BIG
     safe = jnp.minimum(jnp.maximum(idx, 0), n - 1)
-    ax = axis[safe]
+    ax = _take(axis, safe)
     p = ray_at(rays.o, rays.d, jnp.where(hit, t, 1.0))
     ia = jnp.asarray(_AXIS_A_LIST, jnp.int32)[ax]
     ib = jnp.asarray(_AXIS_B_LIST, jnp.int32)[ax]
     rr = jnp.arange(n_rays)
     pa = p[rr, ia]
     pb = p[rr, ib]
-    u = (pa - a0[safe]) / (a1[safe] - a0[safe])
-    v = (pb - b0[safe]) / (b1[safe] - b0[safe])
+    a0s, a1s = _take(a0, safe), _take(a1, safe)
+    b0s, b1s = _take(b0, safe), _take(b1, safe)
+    u = (pa - a0s) / (a1s - a0s)
+    v = (pb - b0s) / (b1s - b0s)
     outward = jax.nn.one_hot(ax, 3, dtype=jnp.float32)
     normal, front = set_face_normal(rays.d, outward)
     return Hits(hit=hit, t=jnp.where(hit, t, BIG), p=p, normal=normal,
                 uv=jnp.stack([u, v], axis=-1), front_face=front,
-                mat_id=jnp.where(hit, mat_id[safe], -1))
+                mat_id=jnp.where(hit, _take(mat_id, safe), -1))
 
 
 # -------------------------------------------------------------- triangles
@@ -527,25 +529,37 @@ def intersect_mesh_clustered(rays: Rays, tri_verts, tri_id, bmin, bmax,
 def intersect_mesh_clustered_pallas(rays: Rays, tri_verts, tri_id, bmin,
                                     bmax, t_max, ray_valid=None,
                                     interpret: bool = False,
-                                    tri_normals=None, tri_uvs=None):
+                                    tri_normals=None, tri_uvs=None,
+                                    tri_soa=None, bounds8=None):
     """Same contract as intersect_mesh_clustered, but traversal + leaf
     intersection + attribute interpolation run as the fused Pallas kernel
-    (kernels/mesh_traverse.py): per-block dynamic trip counts instead of
-    the XLA loop's lockstep max, and the winning triangle's smooth
-    normal/UV come straight out of the kernel (round-2 profiling: the
-    gather-based XLA interpolation cost 10x the traversal). Forward-only
-    (no custom VJP — the differentiable path keeps the XLA traversal).
+    (kernels/mesh_traverse.py): the cluster slab tests, near-to-far visit
+    order, and per-block dynamic trip counts all live inside the kernel
+    (round-2 profiling: the old XLA-side (rays x clusters) entry matrix +
+    per-block argsorts cost ~9x the kernel itself), and the winning
+    triangle's smooth normal/UV come straight out of the kernel (the XLA
+    gather-based interpolation cost 10x the traversal). Forward-only (no
+    custom VJP — the differentiable path keeps the XLA traversal).
 
-    tri_normals (K,L,3,3) / tri_uvs (K,L,3,2): per-leaf corner attributes;
-    zeros when omitted (pure-occlusion queries).
+    tri_soa (K,24,L) / bounds8 (8,K): prebuilt device tables
+    (kernels.pack_mesh_soa / pack_bounds). Pass them when the mesh is
+    static — XLA gathers of (K,L,3,x) corner attributes are ~microsecond-
+    per-element slow on TPU, so building them per call costs more than the
+    whole traversal. When omitted they are built here from
+    tri_verts/tri_normals/tri_uvs (zeros when those are omitted too —
+    pure-occlusion queries).
     Returns (t (R,), gid (R,) int32, hit (R,), normal (R,3), uv (R,2)).
     """
+    import os
+
     from ..kernels import mesh_traverse as kmod
 
     n_rays = rays.o.shape[0]
     k_clusters, leaf = tri_id.shape
+    cohsort = not os.environ.get("HRT_NO_COHSORT")
     b = kmod.BLOCK
-    n_pad = ((n_rays + b - 1) // b) * b
+    align = max(b, kmod.KEY_BLOCK) if cohsort else b
+    n_pad = ((n_rays + align - 1) // align) * align
     nb = n_pad // b
 
     if ray_valid is None:
@@ -554,65 +568,78 @@ def intersect_mesh_clustered_pallas(rays: Rays, tri_verts, tri_id, bmin,
     o = _pad(rays.o, n_pad, 0.0)
     d = _pad(rays.d, n_pad, 1.0)
 
-    entry = cluster_entries(Rays(o=o, d=d), bmin, bmax, t_max)
-    entry = jnp.where(valid[:, None], entry, jnp.inf)
-
-    # coherence sort: group rays by their nearest-entry cluster (ties by
-    # entry distance), rays that miss every cluster packed LAST — whole
-    # blocks of missers exit the kernel loop after zero visits, and
-    # same-first-cluster blocks open ~2x fewer clusters (mid-render
-    # wavefronts are incoherent; measured 2x total-visit reduction).
-    # The reference gets this "for free" from per-ray recursion.
-    e_min = jnp.min(entry, axis=1)
-    first = jnp.argmin(entry, axis=1).astype(jnp.int32)
-    anyhit = jnp.isfinite(e_min)
-    sort_key = jnp.where(anyhit,
-                         first.astype(jnp.float32) * 1e6
-                         + jnp.minimum(e_min, 9e5),
-                         jnp.float32(k_clusters) * 1e6)
-    perm = jnp.argsort(sort_key)
-    inv = jnp.argsort(perm)
-
-    entry = entry[perm]
-    block_entry = jnp.min(entry.reshape(nb, b, k_clusters), axis=1)
-    order = jnp.argsort(block_entry, axis=1).astype(jnp.int32)
-    e_sorted = jnp.take_along_axis(block_entry, order, axis=1)
-    e_sorted = jnp.concatenate(
-        [e_sorted, jnp.full((nb, 1), jnp.inf, jnp.float32)], axis=1)
+    if tri_soa is None:
+        if tri_normals is None:
+            tri_normals = jnp.zeros(tri_verts.shape, jnp.float32)
+        if tri_uvs is None:
+            tri_uvs = jnp.zeros((k_clusters, leaf, 3, 2), jnp.float32)
+        tri_soa = kmod.pack_mesh_soa(tri_verts, tri_normals, tri_uvs)
+    if bounds8 is None:
+        bounds8 = kmod.pack_bounds(bmin, bmax)
 
     rays8 = jnp.concatenate(
         [o, d, valid.astype(jnp.float32)[:, None],
-         jnp.zeros((n_pad, 1), jnp.float32)], axis=1)[perm].reshape(
-        nb, b, 8)
-    if tri_normals is None:
-        tri_normals = jnp.zeros(tri_verts.shape, jnp.float32)
-    if tri_uvs is None:
-        tri_uvs = jnp.zeros((k_clusters, leaf, 3, 2), jnp.float32)
-    tri_soa = kmod.pack_mesh_soa(tri_verts, tri_normals, tri_uvs)
+         jnp.zeros((n_pad, 1), jnp.float32)], axis=1)
+
+    if cohsort:
+        # coherence sort: group rays by their nearest-entry cluster (ties
+        # by entry distance), rays that miss every cluster packed LAST —
+        # whole blocks of missers exit the kernel loop after zero visits,
+        # and same-first-cluster blocks open ~2x fewer clusters
+        # (mid-render wavefronts are incoherent; measured 2x total-visit
+        # reduction). The reference gets this "for free" from per-ray
+        # recursion. HRT_NO_COHSORT=1 disables (the two argsorts +
+        # gathers can rival the savings on small scenes).
+        e_min, first = kmod.coherence_keys_pallas(
+            rays8.reshape(-1, kmod.KEY_BLOCK, 8), bounds8,
+            t_max=float(t_max), interpret=interpret)
+        e_min = e_min.reshape(-1)
+        first = first.reshape(-1)
+        sort_key = jnp.where(jnp.isfinite(e_min),
+                             first.astype(jnp.float32) * 1e6
+                             + jnp.minimum(e_min, 9e5),
+                             jnp.float32(k_clusters) * 1e6)
+        perm = jnp.argsort(sort_key)
+        rays8 = rays8[perm]
+
     out, id_best = kmod.traverse_clusters_pallas(
-        rays8, order, e_sorted, tri_soa, tri_id, t_max=float(t_max),
-        interpret=interpret)
-    out = out.reshape(-1, 8)[inv][:n_rays]      # undo the coherence sort
+        rays8.reshape(nb, b, 8), bounds8, tri_soa, tri_id,
+        t_max=float(t_max), interpret=interpret)
+    out = out.reshape(-1, 8)
+    id_best = id_best.reshape(-1)
+    if cohsort:
+        # undo the coherence sort with a scatter (cheaper than building
+        # the inverse permutation via a second argsort)
+        out = jnp.zeros_like(out).at[perm].set(out)
+        id_best = jnp.zeros_like(id_best).at[perm].set(id_best)
+    out = out[:n_rays]
+    id_best = id_best[:n_rays]
     t_best = out[:, 0]
-    id_best = id_best.reshape(-1)[inv][:n_rays]
     return (t_best, id_best, t_best < BIG, out[:, 1:4], out[:, 4:6])
 
 
 def intersect_triangles_bvh(rays: Rays, verts, normals, uvs, indices,
                             tri_verts, tri_id, bmin, bmax, mat_id, t_max,
                             ray_valid=None, backend: str = "xla",
-                            interpret: bool = False) -> Hits:
+                            interpret: bool = False,
+                            tri_soa=None, bounds8=None) -> Hits:
     """Full mesh hit via the cluster BVH: find (t, tri) then interpolate
     attributes exactly like intersect_triangles. backend: "xla" (exact
     lockstep loop, differentiable) or "pallas" (fused TPU kernel with
-    in-kernel attribute interpolation — no per-ray vertex gathers)."""
+    in-kernel attribute interpolation — no per-ray vertex gathers).
+    tri_soa/bounds8: prebuilt kernel tables for static meshes (see
+    intersect_mesh_clustered_pallas)."""
     if backend == "pallas":
-        safe_cl = jnp.maximum(tri_id, 0)                  # (K,L)
-        corner = indices[safe_cl]                         # (K,L,3)
+        if tri_soa is None:
+            safe_cl = jnp.maximum(tri_id, 0)              # (K,L)
+            corner = indices[safe_cl]                     # (K,L,3)
+            tri_normals, tri_uvs = normals[corner], uvs[corner]
+        else:
+            tri_normals = tri_uvs = None
         t, gid, hit, normal, uv = intersect_mesh_clustered_pallas(
             rays, tri_verts, tri_id, bmin, bmax, t_max, ray_valid,
-            interpret=interpret, tri_normals=normals[corner],
-            tri_uvs=uvs[corner])
+            interpret=interpret, tri_normals=tri_normals,
+            tri_uvs=tri_uvs, tri_soa=tri_soa, bounds8=bounds8)
         front = jnp.sum(rays.d * normal, axis=-1) < 0.0
         return Hits(hit=hit, t=jnp.where(hit, t, BIG),
                     p=ray_at(rays.o, rays.d, jnp.where(hit, t, 1.0)),

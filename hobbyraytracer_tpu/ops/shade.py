@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import mathx, rng
+from ..core.mathx import take_rows as _take
 from ..core.types import Hits, Rays
 from . import texture as tex_ops
 
@@ -114,12 +115,14 @@ def emitted(mats: MaterialTable, tab: tex_ops.TextureTable,
         return jnp.zeros(hits.t.shape + (3,), jnp.float32)
     mid = jnp.maximum(hits.mat_id, 0)
     u, v = hits.uv[..., 0], hits.uv[..., 1]
-    alb = _vec3_value(mats.albedo[mid], mats.albedo_tex[mid], tab, u, v,
+    alb = _vec3_value(_take(mats.albedo, mid), _take(mats.albedo_tex, mid),
+                      tab, u, v,
                       hits.p, "albedo" in mats.textured)
-    s = _scalar_value(mats.strength[mid], mats.strength_tex[mid], tab, u, v,
+    s = _scalar_value(_take(mats.strength, mid),
+                      _take(mats.strength_tex, mid), tab, u, v,
                       hits.p, "strength" in mats.textured)
     e = alb * s[..., None]
-    is_light = (mats.mtype[mid] == MAT_DIFFUSE_LIGHT) & hits.hit
+    is_light = (_take(mats.mtype, mid) == MAT_DIFFUSE_LIGHT) & hits.hit
     return jnp.where(is_light[..., None], e, 0.0)
 
 
@@ -135,7 +138,7 @@ def scatter(mats: MaterialTable, tab: tex_ops.TextureTable, rays: Rays,
     """
     n = hits.t.shape[0]
     mid = jnp.maximum(hits.mat_id, 0)
-    mt = mats.mtype[mid]
+    mt = _take(mats.mtype, mid)
     u, v = hits.uv[..., 0], hits.uv[..., 1]
     p = hits.p
     nrm = hits.normal
@@ -148,10 +151,12 @@ def scatter(mats: MaterialTable, tab: tex_ops.TextureTable, rays: Rays,
     has_pbr = MAT_PBR in present
     has_uvtest = MAT_UVTEST in present
 
-    albedo = _vec3_value(mats.albedo[mid], mats.albedo_tex[mid], tab, u, v,
+    albedo = _vec3_value(_take(mats.albedo, mid),
+                         _take(mats.albedo_tex, mid), tab, u, v,
                          p, "albedo" in mats.textured)
     need_rough = has_metal or has_dielectric or has_pbr
-    rough = (_scalar_value(mats.roughness[mid], mats.roughness_tex[mid],
+    rough = (_scalar_value(_take(mats.roughness, mid),
+                           _take(mats.roughness_tex, mid),
                            tab, u, v, p, "roughness" in mats.textured)
              if need_rough else jnp.zeros((n,), jnp.float32))
 
@@ -191,7 +196,7 @@ def scatter(mats: MaterialTable, tab: tex_ops.TextureTable, rays: Rays,
         # raw hit normal (reference passes rec.normal unnormalized).
         u_choice = rng.uniform(
             rng.stream(key, rng.DIELECTRIC_CHOICE, bounce), (n,))
-        ior = mats.ior[mid]
+        ior = _take(mats.ior, mid)
         ratio = jnp.where(hits.front_face, 1.0 / ior, ior)
         cos_t = jnp.minimum(mathx.dot(-unit_d, nrm), 1.0)
         sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
@@ -217,7 +222,8 @@ def scatter(mats: MaterialTable, tab: tex_ops.TextureTable, rays: Rays,
     if has_pbr:
         # --- PBR (material.cpp:4-27): length(metallness value) > 0.5 ->
         # metal lobe (roughness), else lambertian; both share albedo.
-        metl = _scalar_value(mats.metallness[mid], mats.metallness_tex[mid],
+        metl = _scalar_value(_take(mats.metallness, mid),
+                             _take(mats.metallness_tex, mid),
                              tab, u, v, p, "metallness" in mats.textured)
         pbr_is_metal = jnp.abs(metl) > 0.5
         sel = (mt == MAT_PBR)

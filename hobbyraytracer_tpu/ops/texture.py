@@ -12,6 +12,8 @@ import flax.struct
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.mathx import take_rows as _take
+
 TEX_SOLID = 0       # SolidColourTexture (texture.h:9-25)
 TEX_IMAGE = 1       # ImageTexture (texture.cpp:30-74)
 TEX_CHECKERED = 2   # CheckeredTexture (texture.cpp:17-28)
@@ -91,19 +93,19 @@ def colour_value(tab: TextureTable, tex_id, u, v, p) -> jnp.ndarray:
     - image/environment with no data: debug cyan (texture.cpp:56-57,79-80)
     """
     tid = jnp.maximum(tex_id, 0)
-    tt = tab.ttype[tid]
-    w = tab.width[tid]
-    h = tab.height[tid]
-    off = tab.offset[tid]
+    tt = _take(tab.ttype, tid)
+    w = _take(tab.width, tid)
+    h = _take(tab.height, tid)
+    off = _take(tab.offset, tid)
 
     # solid
-    c_solid = tab.solid[tid]
+    c_solid = _take(tab.solid, tid)
 
     # checkered
     sines = (jnp.sin(10.0 * p[..., 0]) * jnp.sin(10.0 * p[..., 1])
              * jnp.sin(10.0 * p[..., 2]))
-    c_check = jnp.where((sines < 0.0)[..., None], tab.solid2[tid],
-                        tab.solid[tid])
+    c_check = jnp.where((sines < 0.0)[..., None], _take(tab.solid2, tid),
+                        c_solid)
 
     uc = jnp.clip(u, 0.0, 1.0)
     wi = jnp.maximum(w, 1)

@@ -347,13 +347,28 @@ def _mesh_geom(m, mat_id) -> ir.MeshGeom:
         indices=jnp.asarray(m["indices"]),
         mat_id=jnp.asarray(mat_id, jnp.int32))
     if n_tris >= BVH_MIN_TRIS:
+        import numpy as np
+
+        from ..kernels import mesh_traverse as kmod
         from .bvh import build_clusters
         cl = build_clusters(m["verts"], m["indices"],
                             leaf_size=BVH_LEAF_SIZE)
+        # host-side (numpy) corner-attribute gathers + kernel SoA pack:
+        # doing these per trace on device is ~1 us/element on TPU (see
+        # MeshGeom.tri_soa)
+        safe_id = np.maximum(np.asarray(cl["tri_id"]), 0)
+        corner = np.asarray(m["indices"])[safe_id]          # (K,L,3)
+        tri_soa = kmod.pack_mesh_soa(
+            jnp.asarray(cl["tri_verts"]),
+            jnp.asarray(np.asarray(m["normals"], np.float32)[corner]),
+            jnp.asarray(np.asarray(m["uvs"], np.float32)[corner]))
         geom = geom.replace(
             cluster_id=jnp.asarray(cl["tri_id"]),
             cluster_bmin=jnp.asarray(cl["bmin"]),
             cluster_bmax=jnp.asarray(cl["bmax"]),
+            tri_soa=tri_soa,
+            bounds8=kmod.pack_bounds(jnp.asarray(cl["bmin"]),
+                                     jnp.asarray(cl["bmax"])),
             use_bvh=True)
     return geom
 

@@ -109,6 +109,14 @@ class MeshGeom:
     cluster_id: Optional[jnp.ndarray] = None    # (K,L) int32
     cluster_bmin: Optional[jnp.ndarray] = None  # (K,3)
     cluster_bmax: Optional[jnp.ndarray] = None  # (K,3)
+    # Prebuilt Pallas kernel tables (kernels.pack_mesh_soa / pack_bounds),
+    # computed ON HOST at build time (scene/build.py): per-trace XLA
+    # gathers of (K,L,3,x) corner attributes are ~1 us/element on TPU —
+    # more than the whole traversal. These snapshot the BUILD-time
+    # geometry; the differentiable (XLA) path below regathers from the
+    # live vertex array instead, so fitting never sees them stale.
+    tri_soa: Optional[jnp.ndarray] = None       # (K,24,L) f32
+    bounds8: Optional[jnp.ndarray] = None       # (8,K) f32
     use_bvh: bool = flax.struct.field(pytree_node=False, default=False)
 
 
@@ -193,26 +201,37 @@ def _intersect_instance(inst: Instance, rays: Rays, t_min,
         m = inst.mesh
         if m.use_bvh:
             backend, interpret = _resolve_mesh_backend(mesh_backend, m)
-            # leaf vertices regathered from the differentiable vertex array
-            safe_id = jnp.maximum(m.cluster_id, 0)
-            tri_verts = m.verts[m.indices[safe_id]]  # (K,L,3,3)
-            # cluster bounds recomputed from the SAME vertices (cheap K*L
-            # reduction): during differentiable fitting optimized vertices
-            # would otherwise drift outside the build-time boxes and hits
-            # would vanish discontinuously. stop_gradient: culling is
-            # discrete, bounds carry no derivative. Build-time bounds
-            # (m.cluster_bmin/bmax) remain the host-build artifact that
-            # parity tests check.
-            pad = (m.cluster_id < 0)[..., None]             # (K,L,1)
-            tmin = jnp.where(pad, BIG, tri_verts.min(axis=2))
-            tmax = jnp.where(pad, -BIG, tri_verts.max(axis=2))
-            bmin = jax.lax.stop_gradient(tmin.min(axis=1) - 1e-4)
-            bmax = jax.lax.stop_gradient(tmax.max(axis=1) + 1e-4)
-            h = isect.intersect_triangles_bvh(
-                r, m.verts, m.normals, m.uvs, m.indices, tri_verts,
-                m.cluster_id, bmin, bmax, m.mat_id,
-                BIG, ray_valid=ray_valid, backend=backend,
-                interpret=interpret)
+            if backend == "pallas" and m.tri_soa is not None:
+                # static forward path: host-prebuilt kernel tables, zero
+                # per-trace gathers (see MeshGeom.tri_soa)
+                h = isect.intersect_triangles_bvh(
+                    r, m.verts, m.normals, m.uvs, m.indices, None,
+                    m.cluster_id, m.cluster_bmin, m.cluster_bmax,
+                    m.mat_id, BIG, ray_valid=ray_valid, backend="pallas",
+                    interpret=interpret, tri_soa=m.tri_soa,
+                    bounds8=m.bounds8)
+            else:
+                # leaf vertices regathered from the differentiable vertex
+                # array
+                safe_id = jnp.maximum(m.cluster_id, 0)
+                tri_verts = m.verts[m.indices[safe_id]]  # (K,L,3,3)
+                # cluster bounds recomputed from the SAME vertices (cheap
+                # K*L reduction): during differentiable fitting optimized
+                # vertices would otherwise drift outside the build-time
+                # boxes and hits would vanish discontinuously.
+                # stop_gradient: culling is discrete, bounds carry no
+                # derivative. Build-time bounds (m.cluster_bmin/bmax)
+                # remain the host-build artifact that parity tests check.
+                pad = (m.cluster_id < 0)[..., None]             # (K,L,1)
+                tmin = jnp.where(pad, BIG, tri_verts.min(axis=2))
+                tmax = jnp.where(pad, -BIG, tri_verts.max(axis=2))
+                bmin = jax.lax.stop_gradient(tmin.min(axis=1) - 1e-4)
+                bmax = jax.lax.stop_gradient(tmax.max(axis=1) + 1e-4)
+                h = isect.intersect_triangles_bvh(
+                    r, m.verts, m.normals, m.uvs, m.indices, tri_verts,
+                    m.cluster_id, bmin, bmax, m.mat_id,
+                    BIG, ray_valid=ray_valid, backend=backend,
+                    interpret=interpret)
         else:
             h = isect.intersect_triangles(r, m.verts, m.normals, m.uvs,
                                           m.indices, m.mat_id, BIG)
