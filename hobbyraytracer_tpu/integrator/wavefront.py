@@ -47,29 +47,44 @@ _REGEN = 101
 
 @flax.struct.dataclass
 class PoolState:
-    """Complete render state — serializable for checkpoint/resume."""
-    fb: jnp.ndarray        # (W*H, 3) f32 radiance accumulator (sum, not mean)
+    """Complete render state — serializable for checkpoint/resume.
+
+    fb holds W*H + P rows: the image accumulator followed by P scratch
+    rows that absorb the per-lane dummy writes of the retirement scatter
+    (see _segment — guaranteed-unique indices let XLA vectorize the
+    scatter-add instead of serializing 262k possibly-colliding updates,
+    measured ~9x). Use `framebuffer(state, wh)` for the image part."""
+    fb: jnp.ndarray        # (W*H + P, 3) f32 radiance accumulator (sum)
     o: jnp.ndarray         # (P, 3) ray origin
     d: jnp.ndarray         # (P, 3) ray direction
     thr: jnp.ndarray       # (P, 3) path throughput
     rad: jnp.ndarray       # (P, 3) radiance accumulated by the current path
     item: jnp.ndarray      # (P,) int32 work item id, -1 = idle lane
     depth: jnp.ndarray     # (P,) int32 segments already traced for the item
+    pending: jnp.ndarray   # (P,) bool: path finished, framebuffer write
+                           # deferred because another lane retired the same
+                           # pixel this segment (see _segment)
     counter: jnp.ndarray   # () int32 next unissued work item
     retired: jnp.ndarray   # () int32 completed work items
     it: jnp.ndarray        # () int32 global iteration (RNG stream index)
 
 
+def framebuffer(state: PoolState, width: int, height: int) -> jnp.ndarray:
+    """The (W*H, 3) image accumulator (fb minus the scatter scratch rows)."""
+    return state.fb[:width * height]
+
+
 def init_state(width: int, height: int, pool: int = DEFAULT_POOL
                ) -> PoolState:
     return PoolState(
-        fb=jnp.zeros((width * height, 3), jnp.float32),
+        fb=jnp.zeros((width * height + pool, 3), jnp.float32),
         o=jnp.zeros((pool, 3), jnp.float32),
         d=jnp.ones((pool, 3), jnp.float32),
         thr=jnp.zeros((pool, 3), jnp.float32),
         rad=jnp.zeros((pool, 3), jnp.float32),
         item=jnp.full((pool,), -1, jnp.int32),
         depth=jnp.zeros((pool,), jnp.int32),
+        pending=jnp.zeros((pool,), jnp.bool_),
         counter=jnp.int32(0),
         retired=jnp.int32(0),
         it=jnp.int32(0),
@@ -123,7 +138,7 @@ def _segment(state: PoolState, scene: scene_ir.SceneIR, width: int,
     """Trace one path segment for every active lane; retire finished paths
     into the framebuffer."""
     wh = width * height
-    active = state.item >= 0
+    active = (state.item >= 0) & ~state.pending
     r = Rays(o=state.o, d=state.d)
     hits = scene_ir.intersect_scene(scene, r, key, state.it,
                                     ray_valid=active, mesh_backend="auto")
@@ -144,15 +159,38 @@ def _segment(state: PoolState, scene: scene_ir.SceneIR, width: int,
     o = jnp.where(cont[:, None], hits.p, state.o)
     d = jnp.where(cont[:, None], new_d, state.d)
 
-    retire = active & ~cont
-    pix = jnp.where(retire, state.item % wh, 0)
-    fb = state.fb.at[pix].add(jnp.where(retire[:, None], rad, 0.0))
+    # Retirement scatter with GUARANTEED-unique indices. XLA serializes a
+    # possibly-colliding scatter-add (~40% of a segment's device time);
+    # with provably unique rows it vectorizes (measured ~9x faster on the
+    # isolated op). Two lanes CAN finish the same pixel in one segment
+    # (samples of one pixel re-issued while an old path still lingers —
+    # rare but real), so per segment we elect ONE winner per pixel via a
+    # cheap sort and DEFER the losers: they sit out (pending=True) and
+    # retry next segment, when their pixel's winner is gone. Winners
+    # write their pixel row; every other lane writes its own scratch row
+    # (wh + lane) — all rows distinct by construction, exact radiometry.
+    done = (active & ~cont) | state.pending  # finished, fb write owed
+    pool = state.item.shape[0]
+    lane = jnp.arange(pool, dtype=jnp.int32)
+    sort_key = jnp.where(done, state.item % wh, jnp.int32(2**30))
+    order = jnp.argsort(sort_key).astype(jnp.int32)
+    p_s = sort_key[order]
+    head = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                            p_s[1:] != p_s[:-1]])
+    win_sorted = head & (p_s < jnp.int32(2**30))
+    # back to lane order: `order` is a permutation -> truly unique
+    winner = jnp.zeros((pool,), jnp.bool_).at[order].set(
+        win_sorted, unique_indices=True)
+    target = jnp.where(winner, state.item % wh, wh + lane)
+    fb = state.fb.at[target].add(jnp.where(winner[:, None], rad, 0.0),
+                                 unique_indices=True)
 
     return state.replace(
         fb=fb, o=o, d=d, thr=thr, rad=rad,
-        item=jnp.where(retire, -1, state.item),
+        item=jnp.where(winner, -1, state.item),
         depth=depth,
-        retired=state.retired + jnp.sum(retire.astype(jnp.int32)),
+        pending=done & ~winner,
+        retired=state.retired + jnp.sum(winner.astype(jnp.int32)),
         it=state.it + 1,
     )
 
@@ -224,6 +262,6 @@ def render_image(scene: scene_ir.SceneIR, camera: Camera, width: int,
                          max_depth=max_depth, pool=pool,
                          progress_cb=progress_cb, state=state,
                          checkpoint_cb=checkpoint_cb)
-    mean = state.fb / jnp.float32(samples)
+    mean = framebuffer(state, width, height) / jnp.float32(samples)
     img = film_ops.tonemap(mean)
     return img.reshape(height, width, 3)

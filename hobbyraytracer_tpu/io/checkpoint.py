@@ -24,9 +24,9 @@ import numpy as np
 
 from ..integrator.wavefront import PoolState
 
-_VERSION = 1
-_FIELDS = ("fb", "o", "d", "thr", "rad", "item", "depth", "counter",
-           "retired", "it")
+_VERSION = 2  # v2: fb gained P scratch rows, `pending` field added
+_FIELDS = ("fb", "o", "d", "thr", "rad", "item", "depth", "pending",
+           "counter", "retired", "it")
 
 
 def save_state(path: str, state: PoolState) -> None:

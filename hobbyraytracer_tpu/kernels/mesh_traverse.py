@@ -58,8 +58,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.mathx import BIG
 
-BLOCK = 256          # rays per traversal block (coherence unit)
-KEY_BLOCK = 2048     # rays per coherence-key block
+import os
+
+BLOCK = int(os.environ.get("HRT_BLOCK", "256"))  # rays per traversal block
+# rays per coherence-key block. NOTE the (TB, K) slab intermediates pad K
+# up to a full 128-lane row, so VMEM cost is ~10 * TB * 128 * 4 B; 8192
+# blows the 16 MB scoped-vmem limit (measured), 2048 fits comfortably.
+KEY_BLOCK = int(os.environ.get("HRT_KEY_BLOCK", "2048"))
 SOA_ROWS = 24        # v0,e1,e2 (9) + n0,n1,n2 (9) + uv0,uv1,uv2 (6)
 # VMEM budget for the resident mesh (tri SoA + ids); larger meshes fall
 # back to the XLA traversal.

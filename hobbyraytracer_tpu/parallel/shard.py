@@ -147,7 +147,7 @@ def render_wavefront_sharded(scene, camera, width: int, height: int,
             return s, i + 1
 
         state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
-        return jax.lax.psum(state.fb, RAY_AXIS)
+        return jax.lax.psum(wf.framebuffer(state, width, height), RAY_AXIS)
 
     # check_vma=False: the integrator's scan carries start as replicated
     # constants and become device-varying on the first iteration — the

@@ -81,3 +81,39 @@ def test_progress_callback_fires(cornell):
     assert seen[-1][0] == seen[-1][1] == 8 * 8 * 2
     # monotone non-decreasing progress
     assert all(a[0] <= b[0] for a, b in zip(seen, seen[1:]))
+
+
+def test_same_pixel_retires_defer_exactly(cornell):
+    """Two+ lanes finishing the SAME pixel in one segment: the election
+    keeps one (unique-index scatter) and defers the rest (pending flag);
+    every contribution must land exactly once."""
+    w = h = 8
+    wh = w * h
+    pool = 8
+    state = wavefront.init_state(w, h, pool)
+    # lanes 0..3 all carry samples of pixel 5 (items 5 + k*wh); lanes 4..7
+    # idle. Rays point straight up: the cornell scene has no geometry
+    # above the camera-space sky? use a direction guaranteed to miss by
+    # pointing away from the box (the box spans z in [-2.5, 2.5]).
+    o = jnp.tile(jnp.asarray([[0.0, 2.5, 40.0]]), (pool, 1))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pool, 1))
+    item = jnp.asarray([5, 5 + wh, 5 + 2 * wh, 5 + 3 * wh,
+                        -1, -1, -1, -1], jnp.int32)
+    state = state.replace(o=o, d=d,
+                          thr=jnp.ones((pool, 3), jnp.float32),
+                          rad=jnp.zeros((pool, 3), jnp.float32),
+                          item=item,
+                          counter=jnp.int32(4 * wh))  # queue exhausted
+    from hobbyraytracer_tpu.integrator.path import background_colour
+    bg = np.asarray(background_colour(cornell.scene, d))[0]
+
+    for _ in range(8):
+        state = wavefront._segment(state, cornell.scene, w, h,
+                                   jax.random.PRNGKey(1), 6)
+        if int(state.retired) == 4:
+            break
+    assert int(state.retired) == 4
+    assert not bool(jnp.any(state.pending))
+    fb = np.asarray(wavefront.framebuffer(state, w, h))
+    np.testing.assert_allclose(fb[5], 4.0 * bg, rtol=1e-5)
+    assert np.abs(fb[np.arange(wh) != 5]).max() == 0.0
