@@ -9,18 +9,36 @@ the next pixel when a path dies (main.cpp:111-135).
 The TPU-native equivalent of "move to the next pixel" is *ray
 regeneration*: keep a fixed-size pool of P lanes; every iteration traces
 ONE path segment for every lane; lanes whose paths terminate immediately
-pull the next (pixel, sample) work item off a global queue and start a
-fresh camera ray. Every lane does useful work every iteration (except the
-final drain), shapes stay static for XLA, and the whole render is one
-`lax.while_loop`.
+start the next sample (or pull the next work item off a global queue).
+Every lane does useful work every iteration (except the final drain),
+shapes stay static for XLA, and the whole render is one `lax.while_loop`.
 
 Radiance recurrence per segment is identical to integrator/path.py (and
 main.cpp:43-76): miss adds throughput*background, hits add
 throughput*emitted, scatter multiplies throughput or terminates.
 
-Work-item order is sample-major: item i covers pixel (i % W*H) of sample
-(i // W*H), so the image completes in whole-image passes — progress and
-checkpoint state are "n samples done + a partial pass".
+Two round-3 design points, both driven by measured TPU scatter cost
+(~16 ns per scattered ELEMENT regardless of formulation — sort-based,
+ticket-election, segmented-scan and scatter-add all bottom out there):
+
+- SAMPLE CHUNKING: one work item covers SAMPLE_CHUNK consecutive samples
+  of one pixel. A lane finishing a sample starts the pixel's next sample
+  in place, accumulating radiance in its own register file (rad); only
+  the completed chunk retires to the framebuffer. Framebuffer traffic
+  drops by the chunk factor with zero idle lanes.
+- COMPACTED PLANAR RETIREMENT: finished lanes are compacted with ONE
+  argsort (~1.3 ms at 262k lanes — sorts are cheap, scatters are not),
+  then at most RETIRE_CAP (pixel, rgb) entries are scatter-added per
+  channel into a PLANAR (3, W*H) accumulator. Row-wise (P,3) scatters
+  cost ~24 ms at this pool size (the 3-wide row pads to a full 128-lane
+  tile); three flat (C,) scatters cost ~1 ms each. Colliding indices are
+  ALLOWED (scatter-add is atomic in XLA semantics), so no winner election
+  or deferral machinery is needed; the cap only defers retirement (flag
+  `defer`) in the rare segment where more than RETIRE_CAP lanes finish.
+
+Work-item order is sample-chunk-major: item i covers pixel (i % W*H) of
+sample chunk (i // W*H), so the image completes in whole-image passes —
+progress and checkpoint state are "n samples done + a partial pass".
 """
 from __future__ import annotations
 
@@ -39,7 +57,10 @@ from ..ops.camera import Camera, get_rays
 from ..scene import ir as scene_ir
 from .path import MAX_DEPTH, background_colour
 
-DEFAULT_POOL = 1 << 18  # 262,144 lanes (~14 MB of pool state)
+DEFAULT_POOL = 1 << 18   # 262,144 lanes (~14 MB of pool state)
+SAMPLE_CHUNK = 4         # samples of one pixel per work item
+_BIGI = 2 ** 30  # plain int: a module-level jnp array would
+                 # initialize the XLA backend at import time
 
 # RNG purpose tag for work-item issue order (distinct from core/rng tags)
 _REGEN = 101
@@ -47,53 +68,65 @@ _REGEN = 101
 
 @flax.struct.dataclass
 class PoolState:
-    """Complete render state — serializable for checkpoint/resume.
-
-    fb holds W*H + P rows: the image accumulator followed by P scratch
-    rows that absorb the per-lane dummy writes of the retirement scatter
-    (see _segment — guaranteed-unique indices let XLA vectorize the
-    scatter-add instead of serializing 262k possibly-colliding updates,
-    measured ~9x). Use `framebuffer(state, wh)` for the image part."""
-    fb: jnp.ndarray        # (W*H + P, 3) f32 radiance accumulator (sum)
+    """Complete render state — serializable for checkpoint/resume."""
+    fb: jnp.ndarray        # (3, W*H) f32 PLANAR radiance accumulator (sum)
     o: jnp.ndarray         # (P, 3) ray origin
     d: jnp.ndarray         # (P, 3) ray direction
     thr: jnp.ndarray       # (P, 3) path throughput
-    rad: jnp.ndarray       # (P, 3) radiance accumulated by the current path
+    rad: jnp.ndarray       # (P, 3) radiance accumulated by the current ITEM
     item: jnp.ndarray      # (P,) int32 work item id, -1 = idle lane
-    depth: jnp.ndarray     # (P,) int32 segments already traced for the item
-    pending: jnp.ndarray   # (P,) bool: path finished, framebuffer write
-                           # deferred because another lane retired the same
-                           # pixel this segment (see _segment)
+    depth: jnp.ndarray     # (P,) int32 segments traced for the current
+                           # sample; -1 = sample done, needs a fresh ray
+    sub: jnp.ndarray       # (P,) int32 samples of the chunk already complete
+    defer: jnp.ndarray     # (P,) bool: chunk finished, retirement deferred
+                           # because the segment hit RETIRE_CAP (rare)
     counter: jnp.ndarray   # () int32 next unissued work item
-    retired: jnp.ndarray   # () int32 completed work items
+    retired: jnp.ndarray   # () int32 completed SAMPLES (not items)
     it: jnp.ndarray        # () int32 global iteration (RNG stream index)
 
 
 def framebuffer(state: PoolState, width: int, height: int) -> jnp.ndarray:
-    """The (W*H, 3) image accumulator (fb minus the scatter scratch rows)."""
-    return state.fb[:width * height]
+    """The (W*H, 3) image radiance-sum accumulator."""
+    return state.fb.T
 
 
 def init_state(width: int, height: int, pool: int = DEFAULT_POOL
                ) -> PoolState:
     return PoolState(
-        fb=jnp.zeros((width * height + pool, 3), jnp.float32),
+        fb=jnp.zeros((3, width * height), jnp.float32),
         o=jnp.zeros((pool, 3), jnp.float32),
         d=jnp.ones((pool, 3), jnp.float32),
         thr=jnp.zeros((pool, 3), jnp.float32),
         rad=jnp.zeros((pool, 3), jnp.float32),
         item=jnp.full((pool,), -1, jnp.int32),
         depth=jnp.zeros((pool,), jnp.int32),
-        pending=jnp.zeros((pool,), jnp.bool_),
+        sub=jnp.zeros((pool,), jnp.int32),
+        defer=jnp.zeros((pool,), jnp.bool_),
         counter=jnp.int32(0),
         retired=jnp.int32(0),
         it=jnp.int32(0),
     )
 
 
+def _chunk_geometry(samples, chunk):
+    """(chunk, n_chunks, last_chunk_size) for spp=samples split into
+    chunks. Works on Python ints (host bookkeeping) AND traced int32
+    scalars (inside jit — spp stays a TRACED value so re-rendering at a
+    different sample count reuses the compiled executable)."""
+    if isinstance(samples, int) and isinstance(chunk, int):
+        chunk = max(1, min(chunk, samples))
+    else:
+        chunk = jnp.clip(chunk, 1, samples)
+    n_chunks = -(-samples // chunk)
+    last = samples - (n_chunks - 1) * chunk
+    return chunk, n_chunks, last
+
+
 def _regenerate(state: PoolState, camera: Camera, width: int, height: int,
                 total_items: int, key, item0=0) -> PoolState:
-    """Fill idle lanes with fresh camera rays for the next queued items.
+    """Issue new items to idle lanes and fresh camera rays to every lane
+    that needs one (newly issued, or starting the next sample of its
+    chunk — flagged by depth == -1).
 
     item0: global offset of this worker's item range — state.counter /
     total_items stay worker-local, but the stored ids (and thus pixel
@@ -108,7 +141,9 @@ def _regenerate(state: PoolState, camera: Camera, width: int, height: int,
     new_item = item0 + new_local
     issue = idle & (new_local < total_items)
 
-    pix = new_item % wh
+    item = jnp.where(issue, new_item, state.item)
+    fresh = issue | ((state.item >= 0) & (state.depth < 0))
+    pix = jnp.maximum(item, 0) % wh
     x = (pix % width).astype(jnp.float32)
     y = (height - pix // width).astype(jnp.float32)  # main.cpp:116 y-flip
     ku = rng.stream(key, rng.PIXEL_JITTER_U, state.it)
@@ -119,26 +154,32 @@ def _regenerate(state: PoolState, camera: Camera, width: int, height: int,
     v = (y + jv) / (height - 1)
     cam_rays = get_rays(camera, u, v, key=rng.stream(key, rng.LENS, state.it))
 
+    f3 = fresh[:, None]
     i3 = issue[:, None]
     n_issued = jnp.minimum(jnp.sum(idle.astype(jnp.int32)),
                            jnp.int32(total_items) - state.counter)
     return state.replace(
-        o=jnp.where(i3, cam_rays.o, state.o),
-        d=jnp.where(i3, cam_rays.d, state.d),
-        thr=jnp.where(i3, 1.0, state.thr),
-        rad=jnp.where(i3, 0.0, state.rad),
-        item=jnp.where(issue, new_item, state.item),
-        depth=jnp.where(issue, 0, state.depth),
+        o=jnp.where(f3, cam_rays.o, state.o),
+        d=jnp.where(f3, cam_rays.d, state.d),
+        thr=jnp.where(f3, 1.0, state.thr),
+        rad=jnp.where(i3, 0.0, state.rad),   # rad persists across the chunk
+        item=item,
+        depth=jnp.where(fresh, 0, state.depth),
+        sub=jnp.where(issue, 0, state.sub),
         counter=state.counter + jnp.maximum(n_issued, 0),
     )
 
 
 def _segment(state: PoolState, scene: scene_ir.SceneIR, width: int,
-             height: int, key, max_depth: int) -> PoolState:
-    """Trace one path segment for every active lane; retire finished paths
-    into the framebuffer."""
+             height: int, key, max_depth: int, samples: int,
+             sample_chunk: int = SAMPLE_CHUNK) -> PoolState:
+    """Trace one path segment for every active lane; roll finished samples
+    into the next sample of their chunk; retire finished chunks into the
+    framebuffer via the compacted planar scatter."""
     wh = width * height
-    active = (state.item >= 0) & ~state.pending
+    pool = state.item.shape[0]
+    chunk, n_chunks, last = _chunk_geometry(samples, sample_chunk)
+    active = (state.item >= 0) & (state.depth >= 0) & ~state.defer
     r = Rays(o=state.o, d=state.d)
     hits = scene_ir.intersect_scene(scene, r, key, state.it,
                                     ray_valid=active, mesh_backend="auto")
@@ -159,38 +200,50 @@ def _segment(state: PoolState, scene: scene_ir.SceneIR, width: int,
     o = jnp.where(cont[:, None], hits.p, state.o)
     d = jnp.where(cont[:, None], new_d, state.d)
 
-    # Retirement scatter with GUARANTEED-unique indices. XLA serializes a
-    # possibly-colliding scatter-add (~40% of a segment's device time);
-    # with provably unique rows it vectorizes (measured ~9x faster on the
-    # isolated op). Two lanes CAN finish the same pixel in one segment
-    # (samples of one pixel re-issued while an old path still lingers —
-    # rare but real), so per segment we elect ONE winner per pixel via a
-    # cheap sort and DEFER the losers: they sit out (pending=True) and
-    # retry next segment, when their pixel's winner is gone. Winners
-    # write their pixel row; every other lane writes its own scratch row
-    # (wh + lane) — all rows distinct by construction, exact radiometry.
-    done = (active & ~cont) | state.pending  # finished, fb write owed
-    pool = state.item.shape[0]
-    lane = jnp.arange(pool, dtype=jnp.int32)
-    sort_key = jnp.where(done, state.item % wh, jnp.int32(2**30))
-    order = jnp.argsort(sort_key).astype(jnp.int32)
-    p_s = sort_key[order]
-    head = jnp.concatenate([jnp.ones((1,), jnp.bool_),
-                            p_s[1:] != p_s[:-1]])
-    win_sorted = head & (p_s < jnp.int32(2**30))
-    # back to lane order: `order` is a permutation -> truly unique
-    winner = jnp.zeros((pool,), jnp.bool_).at[order].set(
-        win_sorted, unique_indices=True)
-    target = jnp.where(winner, state.item % wh, wh + lane)
-    fb = state.fb.at[target].add(jnp.where(winner[:, None], rad, 0.0),
-                                 unique_indices=True)
+    # sample bookkeeping: a lane whose sample just ended either starts the
+    # next sample of its chunk (depth=-1 -> fresh ray next regenerate) or
+    # owes a framebuffer retirement for the whole chunk
+    chunk_n = jnp.where(state.item // wh == n_chunks - 1, last, chunk)
+    sample_end = active & ~cont
+    more = sample_end & (state.sub + 1 < chunk_n)
+    finished = sample_end & (state.sub + 1 >= chunk_n)
+    sub = jnp.where(more, state.sub + 1, state.sub)
+    depth = jnp.where(more, -1, depth)
+
+    # Retirement: compact (pixel, rgb) of finished chunks with one argsort
+    # (cheap), then flat per-channel scatter-adds into the planar fb.
+    # Collisions (two lanes retiring the same pixel) are legal scatter-add
+    # semantics — no election needed. RETIRE_CAP bounds the scatter size;
+    # overflow lanes keep the `defer` flag and retry next segment.
+    cap = min(max(pool // 4, 64), pool)
+    done = finished | state.defer
+    skey = jnp.where(done, state.item % wh, _BIGI)
+    order = jnp.argsort(skey).astype(jnp.int32)[:cap]
+    pix_c = skey[order]
+    rad_c = rad[order]
+    ok_c = pix_c < _BIGI
+    tgt = jnp.where(ok_c, pix_c, 0)
+    vals = jnp.where(ok_c[:, None], rad_c, 0.0)
+    fb = state.fb
+    for c in range(3):
+        fb = fb.at[c, tgt].add(vals[:, c])
+
+    n_done = jnp.sum(done.astype(jnp.int32))
+    retired_mask = jax.lax.cond(
+        n_done <= cap,
+        lambda: done,
+        # rare overflow: only the first `cap` ranks actually landed
+        lambda: jnp.zeros((pool,), jnp.bool_).at[order].set(
+            ok_c, unique_indices=True))
+    samples_out = jnp.where(retired_mask, chunk_n, 0)
 
     return state.replace(
         fb=fb, o=o, d=d, thr=thr, rad=rad,
-        item=jnp.where(winner, -1, state.item),
+        item=jnp.where(retired_mask, -1, state.item),
         depth=depth,
-        pending=done & ~winner,
-        retired=state.retired + jnp.sum(winner.astype(jnp.int32)),
+        sub=sub,
+        defer=done & ~retired_mask,
+        retired=state.retired + jnp.sum(samples_out),
         it=state.it + 1,
     )
 
@@ -198,7 +251,8 @@ def _segment(state: PoolState, scene: scene_ir.SceneIR, width: int,
 @partial(jax.jit, static_argnums=(5, 6, 8), donate_argnums=0)
 def _pool_run(state: PoolState, scene, camera, key, n_steps,
               width: int, height: int, total_items,
-              max_depth: int) -> PoolState:
+              max_depth: int, samples=1,
+              sample_chunk=SAMPLE_CHUNK) -> PoolState:
     """Advance the pool by up to n_steps iterations (stops early when the
     whole render is done). Donated state -> in-place buffer reuse."""
 
@@ -210,7 +264,8 @@ def _pool_run(state: PoolState, scene, camera, key, n_steps,
     def body(c):
         s, i = c
         s = _regenerate(s, camera, width, height, total_items, key)
-        s = _segment(s, scene, width, height, key, max_depth)
+        s = _segment(s, scene, width, height, key, max_depth, samples,
+                     sample_chunk)
         return s, i + 1
 
     state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
@@ -224,30 +279,35 @@ def render_state(scene: scene_ir.SceneIR, camera: Camera, width: int,
                  progress_cb: Optional[Callable[[int, int], None]] = None,
                  state: Optional[PoolState] = None,
                  checkpoint_cb: Optional[Callable[[PoolState], None]] = None,
+                 sample_chunk: int = SAMPLE_CHUNK,
                  ) -> PoolState:
     """Run the pool to completion; returns the final state (fb holds the
     radiance SUM over `samples` samples per pixel).
 
-    progress_cb(retired_items, total_items) fires after every jitted chunk
-    of `steps_per_call` iterations (the reference's 500 ms reporter thread,
-    main.cpp:95-109, becomes a between-chunks callback).
+    progress_cb(retired_samples, total_samples) fires after every jitted
+    chunk of `steps_per_call` iterations (the reference's 500 ms reporter
+    thread, main.cpp:95-109, becomes a between-chunks callback).
     checkpoint_cb(state) fires on the same cadence with the full state.
     `state` resumes from a checkpoint (see checkpoint.py).
     """
-    total_items = width * height * samples
+    wh = width * height
+    chunk, n_chunks, _ = _chunk_geometry(samples, sample_chunk)
+    total_items = wh * n_chunks
+    total_samples = wh * samples
     pool = min(pool, total_items)
     if state is None:
         state = init_state(width, height, pool)
     while True:
         state = _pool_run(state, scene, camera, key,
                           jnp.int32(steps_per_call), width, height,
-                          jnp.int32(total_items), max_depth)
+                          jnp.int32(total_items), max_depth,
+                          jnp.int32(samples), jnp.int32(sample_chunk))
         retired = int(jax.device_get(state.retired))
         if progress_cb is not None:
-            progress_cb(retired, total_items)
+            progress_cb(retired, total_samples)
         if checkpoint_cb is not None:
             checkpoint_cb(state)
-        if retired >= total_items:
+        if retired >= total_samples:
             return state
 
 
@@ -255,13 +315,15 @@ def render_image(scene: scene_ir.SceneIR, camera: Camera, width: int,
                  height: int, samples: int, key: jax.Array,
                  max_depth: int = MAX_DEPTH, pool: int = DEFAULT_POOL,
                  progress_cb=None, state: Optional[PoolState] = None,
-                 checkpoint_cb=None) -> jnp.ndarray:
+                 checkpoint_cb=None,
+                 sample_chunk: int = SAMPLE_CHUNK) -> jnp.ndarray:
     """Full render -> tonemapped (H, W, 3) float image in [0,1]; same film
     pipeline as integrator/path.py (average -> ACES -> gamma)."""
     state = render_state(scene, camera, width, height, samples, key,
                          max_depth=max_depth, pool=pool,
                          progress_cb=progress_cb, state=state,
-                         checkpoint_cb=checkpoint_cb)
+                         checkpoint_cb=checkpoint_cb,
+                         sample_chunk=sample_chunk)
     mean = framebuffer(state, width, height) / jnp.float32(samples)
     img = film_ops.tonemap(mean)
     return img.reshape(height, width, 3)

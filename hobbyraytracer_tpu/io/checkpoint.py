@@ -24,8 +24,10 @@ import numpy as np
 
 from ..integrator.wavefront import PoolState
 
-_VERSION = 2  # v2: fb gained P scratch rows, `pending` field added
-_FIELDS = ("fb", "o", "d", "thr", "rad", "item", "depth", "pending",
+# v3: planar (3, W*H) fb without scratch rows; sample-chunk fields
+# `sub`/`defer` replace the election's `pending`; `retired` counts samples
+_VERSION = 3
+_FIELDS = ("fb", "o", "d", "thr", "rad", "item", "depth", "sub", "defer",
            "counter", "retired", "it")
 
 

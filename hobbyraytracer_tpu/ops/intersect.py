@@ -595,10 +595,19 @@ def intersect_mesh_clustered_pallas(rays: Rays, tri_verts, tri_id, bmin,
             t_max=float(t_max), interpret=interpret)
         e_min = e_min.reshape(-1)
         first = first.reshape(-1)
-        sort_key = jnp.where(jnp.isfinite(e_min),
-                             first.astype(jnp.float32) * 1e6
-                             + jnp.minimum(e_min, 9e5),
-                             jnp.float32(k_clusters) * 1e6)
+        # int-packed (cluster id, quantized entry) key: id in the high
+        # bits, entry rank-quantized into the low bits relative to the
+        # wavefront's own max finite entry — an f32 key (id*1e6 + entry)
+        # hits 1-ulp granularity past id ~16 and quantizes away the
+        # near-to-far ordering the sort exists for
+        e_bits = max(1, min(20, 31 - max(1, (k_clusters + 1)).bit_length()))
+        e_lvls = (1 << e_bits) - 1
+        finite = jnp.isfinite(e_min)
+        e_max = jnp.max(jnp.where(finite, e_min, 0.0))
+        e_q = jnp.clip(e_min / jnp.maximum(e_max, 1e-30) * e_lvls,
+                       0, e_lvls).astype(jnp.int32)
+        sort_key = jnp.where(finite, first * (e_lvls + 1) + e_q,
+                             jnp.int32(k_clusters) * (e_lvls + 1))
         perm = jnp.argsort(sort_key)
         rays8 = rays8[perm]
 

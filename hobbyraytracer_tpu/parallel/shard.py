@@ -119,7 +119,8 @@ def render_wavefront_sharded(scene, camera, width: int, height: int,
     from ..ops import film as film_ops
 
     n = mesh.devices.size
-    total = width * height * samples
+    _, n_chunks, _ = wf._chunk_geometry(samples, wf.SAMPLE_CHUNK)
+    total = width * height * n_chunks  # work ITEMS (sample chunks)
     per = -(-total // n)  # ceil
     pool_per = min(max(pool // n, 1) if pool else wf.DEFAULT_POOL // n
                    or 1, per)
@@ -143,7 +144,7 @@ def render_wavefront_sharded(scene, camera, width: int, height: int,
         def body(c):
             s, i = c
             s = wf._regenerate(s, camera, width, height, tl, k, item0=i0)
-            s = wf._segment(s, scene, width, height, k, max_depth)
+            s = wf._segment(s, scene, width, height, k, max_depth, samples)
             return s, i + 1
 
         state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))

@@ -162,12 +162,16 @@ class SceneIR:
 
 # ------------------------------------------------------------ intersection
 
+_VMEM_FALLBACK_WARNED: set = set()
+
+
 def _resolve_mesh_backend(backend: str, mesh: MeshGeom) -> Tuple[str, bool]:
     """Resolve "auto" to (backend, interpret) for one mesh. The Pallas
     kernel is forward-only and needs the mesh resident in VMEM; anything
     else uses the XLA traversal. HRT_NO_PALLAS=1 forces XLA;
     HRT_PALLAS_INTERPRET=1 runs the kernel in interpreter mode (CPU
     parity tests)."""
+    import logging
     import os
 
     from ..kernels import mesh_fits_vmem
@@ -177,6 +181,16 @@ def _resolve_mesh_backend(backend: str, mesh: MeshGeom) -> Tuple[str, bool]:
         return "xla", False
     k, leaf = mesh.cluster_id.shape
     if not mesh_fits_vmem(k, leaf):
+        # observable degradation: the fused kernel needs the mesh resident
+        # in VMEM; oversized meshes silently losing 4x throughput is the
+        # kind of surprise a long render should warn about (once per shape)
+        if (k, leaf) not in _VMEM_FALLBACK_WARNED:
+            _VMEM_FALLBACK_WARNED.add((k, leaf))
+            logging.getLogger(__name__).warning(
+                "mesh with %d clusters x %d-tri leaves exceeds the Pallas "
+                "kernel's VMEM budget; falling back to the XLA traversal "
+                "(slower). Rebuild with a larger leaf size or split the "
+                "mesh to restore the fused kernel.", k, leaf)
         return "xla", False
     if os.environ.get("HRT_PALLAS_INTERPRET"):
         return "pallas", True

@@ -66,7 +66,7 @@ def test_roundtrip_preserves_all_fields(tmp_path):
     path = str(tmp_path / "rt.npz")
     ckpt.save_state(path, state)
     back = ckpt.load_state(path)
-    for f in ("fb", "o", "d", "thr", "rad", "item", "depth", "counter",
-              "retired", "it"):
+    for f in ("fb", "o", "d", "thr", "rad", "item", "depth", "sub",
+              "defer", "counter", "retired", "it"):
         np.testing.assert_array_equal(np.asarray(getattr(back, f)),
                                       np.asarray(getattr(state, f)), f)

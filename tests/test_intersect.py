@@ -379,3 +379,50 @@ def test_native_obj_parse_matches_python():
                                py["normals"][py["indices"]], rtol=1e-6)
     np.testing.assert_allclose(nat["uvs"][nat["indices"]],
                                py["uvs"][py["indices"]], rtol=1e-6)
+
+
+def test_vmem_fallback_triggers_and_renders_correctly(caplog):
+    """A mesh whose cluster table exceeds the Pallas VMEM budget must fall
+    back to the XLA traversal (with a warning) and still intersect exactly.
+    Clusters beyond the real geometry are -1 padding, so the table is huge
+    while the actual work stays test-sized."""
+    import logging
+
+    from hobbyraytracer_tpu.kernels import mesh_fits_vmem
+    from hobbyraytracer_tpu.scene import ir as scene_ir
+
+    verts, idx = _random_mesh(11, n_tris=100)
+    tv, tid, bmin, bmax = _bvh_tables(verts, idx, leaf_size=16)
+    k, leaf = tid.shape
+    k_big = k
+    while mesh_fits_vmem(k_big, leaf):
+        k_big *= 2
+    pad_k = k_big - k
+    tid_big = jnp.concatenate(
+        [tid, jnp.full((pad_k, leaf), -1, jnp.int32)], axis=0)
+    # padding clusters: point boxes far away -> slab test never enters
+    far = jnp.full((pad_k, 3), 1e30, jnp.float32)
+    mesh = scene_ir.MeshGeom(
+        verts=jnp.asarray(verts), normals=jnp.zeros_like(jnp.asarray(verts)),
+        uvs=jnp.zeros((verts.shape[0], 2), jnp.float32),
+        indices=jnp.asarray(idx), mat_id=jnp.int32(0),
+        cluster_id=tid_big,
+        cluster_bmin=jnp.concatenate([bmin, far]),
+        cluster_bmax=jnp.concatenate([bmax, far]),
+        use_bvh=True)
+    scene_ir._VMEM_FALLBACK_WARNED.clear()
+    with caplog.at_level(logging.WARNING,
+                         logger="hobbyraytracer_tpu.scene.ir"):
+        backend, interp = scene_ir._resolve_mesh_backend("auto", mesh)
+    assert backend == "xla"
+    assert any("VMEM budget" in rec.message for rec in caplog.records)
+    # and the auto path still intersects exactly like the explicit XLA path
+    inst = scene_ir.Instance(kind="mesh", mesh=mesh)
+    r = _random_rays(12, n=128)
+    h_auto = scene_ir._intersect_instance(inst, r, 1e-3,
+                                          mesh_backend="auto")
+    h_xla = scene_ir._intersect_instance(inst, r, 1e-3, mesh_backend="xla")
+    np.testing.assert_array_equal(np.asarray(h_auto.hit),
+                                  np.asarray(h_xla.hit))
+    np.testing.assert_allclose(np.asarray(h_auto.t), np.asarray(h_xla.t),
+                               rtol=1e-6)

@@ -29,11 +29,24 @@ def test_pool_drains_exactly(cornell):
     state = wavefront.render_state(cornell.scene, cornell.camera, w, h, spp,
                                    jax.random.PRNGKey(0), max_depth=6,
                                    pool=256)
-    assert int(state.retired) == w * h * spp
-    assert int(state.counter) == w * h * spp
+    assert int(state.retired) == w * h * spp  # retired counts SAMPLES
+    _, n_chunks, _ = wavefront._chunk_geometry(spp, wavefront.SAMPLE_CHUNK)
+    assert int(state.counter) == w * h * n_chunks  # counter counts ITEMS
     assert not bool(jnp.any(state.item >= 0))
     # every pixel got exactly spp samples' radiance (all finite)
     assert np.isfinite(np.asarray(state.fb)).all()
+
+
+def test_pool_drains_exactly_partial_chunk(cornell):
+    """spp not divisible by the sample chunk: the last chunk is smaller and
+    the retired-sample count still lands exactly."""
+    w = h = 8
+    spp = 7  # chunk 4 -> chunks of 4 + 3
+    state = wavefront.render_state(cornell.scene, cornell.camera, w, h, spp,
+                                   jax.random.PRNGKey(0), max_depth=6,
+                                   pool=128, sample_chunk=4)
+    assert int(state.retired) == w * h * spp
+    assert not bool(jnp.any(state.item >= 0))
 
 
 def test_matches_batch_integrator_radiometry(cornell):
@@ -83,37 +96,71 @@ def test_progress_callback_fires(cornell):
     assert all(a[0] <= b[0] for a, b in zip(seen, seen[1:]))
 
 
-def test_same_pixel_retires_defer_exactly(cornell):
-    """Two+ lanes finishing the SAME pixel in one segment: the election
-    keeps one (unique-index scatter) and defers the rest (pending flag);
-    every contribution must land exactly once."""
+def test_same_pixel_retires_land_exactly(cornell):
+    """Two+ lanes finishing the SAME pixel in one segment: the colliding
+    scatter-add must land every contribution exactly once (the round-2
+    winner-election is gone; scatter-add handles collisions natively)."""
     w = h = 8
     wh = w * h
     pool = 8
+    spp = 4
     state = wavefront.init_state(w, h, pool)
-    # lanes 0..3 all carry samples of pixel 5 (items 5 + k*wh); lanes 4..7
-    # idle. Rays point straight up: the cornell scene has no geometry
-    # above the camera-space sky? use a direction guaranteed to miss by
-    # pointing away from the box (the box spans z in [-2.5, 2.5]).
+    # lanes 0..3 all carry chunk items of pixel 5 (items 5 + k*wh with
+    # sample_chunk=1 -> 4 one-sample chunks); lanes 4..7 idle. Rays point
+    # AWAY from the 555-box (z decreasing from z=40 misses every rect and
+    # both box instances) -> every path finishes this segment with only
+    # the (black) background contribution; preloaded per-lane `rad` makes
+    # the landed-exactly-once check non-vacuous.
     o = jnp.tile(jnp.asarray([[0.0, 2.5, 40.0]]), (pool, 1))
-    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pool, 1))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (pool, 1))
     item = jnp.asarray([5, 5 + wh, 5 + 2 * wh, 5 + 3 * wh,
                         -1, -1, -1, -1], jnp.int32)
+    preload = jnp.arange(1.0, pool + 1)[:, None] * jnp.ones((1, 3))
     state = state.replace(o=o, d=d,
                           thr=jnp.ones((pool, 3), jnp.float32),
-                          rad=jnp.zeros((pool, 3), jnp.float32),
+                          rad=preload.astype(jnp.float32),
                           item=item,
                           counter=jnp.int32(4 * wh))  # queue exhausted
-    from hobbyraytracer_tpu.integrator.path import background_colour
-    bg = np.asarray(background_colour(cornell.scene, d))[0]
-
-    for _ in range(8):
-        state = wavefront._segment(state, cornell.scene, w, h,
-                                   jax.random.PRNGKey(1), 6)
-        if int(state.retired) == 4:
-            break
+    state = wavefront._segment(state, cornell.scene, w, h,
+                               jax.random.PRNGKey(1), 6, spp,
+                               sample_chunk=1)
     assert int(state.retired) == 4
-    assert not bool(jnp.any(state.pending))
+    assert not bool(jnp.any(state.defer))
     fb = np.asarray(wavefront.framebuffer(state, w, h))
-    np.testing.assert_allclose(fb[5], 4.0 * bg, rtol=1e-5)
+    # lanes 1..4's preloads all land on pixel 5 (1+2+3+4 = 10)
+    np.testing.assert_allclose(fb[5], [10.0, 10.0, 10.0], rtol=1e-6)
     assert np.abs(fb[np.arange(wh) != 5]).max() == 0.0
+
+
+def test_retire_cap_overflow_defers_and_recovers(cornell):
+    """More finished chunks than RETIRE_CAP in one segment: the overflow
+    lanes defer (flag set, no radiance lost) and land on a later segment.
+    cap = max(pool // 4, 64) -> use pool=256 so cap=64 < 200 finishers."""
+    w = h = 16
+    wh = w * h
+    pool = 256
+    spp = 1
+    state = wavefront.init_state(w, h, pool)
+    o = jnp.tile(jnp.asarray([[0.0, 2.5, 40.0]]), (pool, 1))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (pool, 1))  # all miss
+    item = jnp.arange(pool, dtype=jnp.int32)  # 256 distinct pixels
+    preload = (jnp.arange(1.0, pool + 1)[:, None]
+               * jnp.ones((1, 3))).astype(jnp.float32)
+    state = state.replace(o=o, d=d,
+                          thr=jnp.ones((pool, 3), jnp.float32),
+                          rad=preload,
+                          item=item, counter=jnp.int32(wh))
+    state = wavefront._segment(state, cornell.scene, w, h,
+                               jax.random.PRNGKey(1), 6, spp,
+                               sample_chunk=1)
+    assert int(state.retired) == 64          # cap-limited
+    assert int(jnp.sum(state.defer)) == 192  # deferred, not dropped
+    for _ in range(3):
+        state = wavefront._segment(state, cornell.scene, w, h,
+                                   jax.random.PRNGKey(1), 6, spp,
+                                   sample_chunk=1)
+    assert int(state.retired) == 256
+    assert not bool(jnp.any(state.defer))
+    fb = np.asarray(wavefront.framebuffer(state, w, h))
+    # every preloaded radiance landed exactly once at its own pixel
+    np.testing.assert_allclose(fb[:pool], np.asarray(preload), rtol=1e-6)
