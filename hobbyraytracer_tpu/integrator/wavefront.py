@@ -180,6 +180,11 @@ def _segment(state: PoolState, scene: scene_ir.SceneIR, width: int,
     pool = state.item.shape[0]
     chunk, n_chunks, last = _chunk_geometry(samples, sample_chunk)
     active = (state.item >= 0) & (state.depth >= 0) & ~state.defer
+    # NOTE (round-3 measurement): a pool-LEVEL coherence sort — permute the
+    # whole lane pool by the mesh key once per segment, skip the per-mesh
+    # sort+unsort inside intersect — benched SLOWER end-to-end (1.64M vs
+    # 1.80M rays/s) even with the state permuted through a single packed
+    # (P,16) gather, so the per-mesh cohsort stays the default.
     r = Rays(o=state.o, d=state.d)
     hits = scene_ir.intersect_scene(scene, r, key, state.it,
                                     ray_valid=active, mesh_backend="auto")

@@ -399,6 +399,22 @@ def cluster_entries(rays: Rays, bmin, bmax, t_max):
 RAY_BLOCK = 64  # rays per visit-list block
 
 
+def pack_coherence_key(e_min, first, k_clusters: int):
+    """Int-packed (cluster id, quantized entry) coherence-sort key: id in
+    the high bits, entry rank-quantized into the low bits relative to the
+    wavefront's own max finite entry — an f32 key (id*1e6 + entry) hits
+    1-ulp granularity past id ~16 and quantizes away the near-to-far
+    ordering the sort exists for. Rays missing every cluster sort last."""
+    e_bits = max(1, min(20, 31 - max(1, (k_clusters + 1)).bit_length()))
+    e_lvls = (1 << e_bits) - 1
+    finite = jnp.isfinite(e_min)
+    e_max = jnp.max(jnp.where(finite, e_min, 0.0))
+    e_q = jnp.clip(e_min / jnp.maximum(e_max, 1e-30) * e_lvls,
+                   0, e_lvls).astype(jnp.int32)
+    return jnp.where(finite, first * (e_lvls + 1) + e_q,
+                     jnp.int32(k_clusters) * (e_lvls + 1))
+
+
 def _tri_soa(tri_verts):
     """(K, L, 3, 3) leaf vertices -> Moller-Trumbore SoA (K, 9, L):
     [v0, e1=v1-v0, e2=v2-v0] with triangles on the minor (lane) axis so
@@ -530,7 +546,8 @@ def intersect_mesh_clustered_pallas(rays: Rays, tri_verts, tri_id, bmin,
                                     bmax, t_max, ray_valid=None,
                                     interpret: bool = False,
                                     tri_normals=None, tri_uvs=None,
-                                    tri_soa=None, bounds8=None):
+                                    tri_soa=None, bounds8=None,
+                                    cohsort=None):
     """Same contract as intersect_mesh_clustered, but traversal + leaf
     intersection + attribute interpolation run as the fused Pallas kernel
     (kernels/mesh_traverse.py): the cluster slab tests, near-to-far visit
@@ -556,7 +573,10 @@ def intersect_mesh_clustered_pallas(rays: Rays, tri_verts, tri_id, bmin,
 
     n_rays = rays.o.shape[0]
     k_clusters, leaf = tri_id.shape
-    cohsort = not os.environ.get("HRT_NO_COHSORT")
+    if cohsort is None:
+        # callers that already sorted the wavefront (integrator/wavefront
+        # presorts the whole lane pool once per segment) pass False
+        cohsort = not os.environ.get("HRT_NO_COHSORT")
     b = kmod.BLOCK
     align = max(b, kmod.KEY_BLOCK) if cohsort else b
     n_pad = ((n_rays + align - 1) // align) * align
@@ -593,21 +613,8 @@ def intersect_mesh_clustered_pallas(rays: Rays, tri_verts, tri_id, bmin,
         e_min, first = kmod.coherence_keys_pallas(
             rays8.reshape(-1, kmod.KEY_BLOCK, 8), bounds8,
             t_max=float(t_max), interpret=interpret)
-        e_min = e_min.reshape(-1)
-        first = first.reshape(-1)
-        # int-packed (cluster id, quantized entry) key: id in the high
-        # bits, entry rank-quantized into the low bits relative to the
-        # wavefront's own max finite entry — an f32 key (id*1e6 + entry)
-        # hits 1-ulp granularity past id ~16 and quantizes away the
-        # near-to-far ordering the sort exists for
-        e_bits = max(1, min(20, 31 - max(1, (k_clusters + 1)).bit_length()))
-        e_lvls = (1 << e_bits) - 1
-        finite = jnp.isfinite(e_min)
-        e_max = jnp.max(jnp.where(finite, e_min, 0.0))
-        e_q = jnp.clip(e_min / jnp.maximum(e_max, 1e-30) * e_lvls,
-                       0, e_lvls).astype(jnp.int32)
-        sort_key = jnp.where(finite, first * (e_lvls + 1) + e_q,
-                             jnp.int32(k_clusters) * (e_lvls + 1))
+        sort_key = pack_coherence_key(e_min.reshape(-1), first.reshape(-1),
+                                      k_clusters)
         perm = jnp.argsort(sort_key)
         rays8 = rays8[perm]
 
@@ -631,7 +638,8 @@ def intersect_triangles_bvh(rays: Rays, verts, normals, uvs, indices,
                             tri_verts, tri_id, bmin, bmax, mat_id, t_max,
                             ray_valid=None, backend: str = "xla",
                             interpret: bool = False,
-                            tri_soa=None, bounds8=None) -> Hits:
+                            tri_soa=None, bounds8=None,
+                            cohsort=None) -> Hits:
     """Full mesh hit via the cluster BVH: find (t, tri) then interpolate
     attributes exactly like intersect_triangles. backend: "xla" (exact
     lockstep loop, differentiable) or "pallas" (fused TPU kernel with
@@ -648,7 +656,8 @@ def intersect_triangles_bvh(rays: Rays, verts, normals, uvs, indices,
         t, gid, hit, normal, uv = intersect_mesh_clustered_pallas(
             rays, tri_verts, tri_id, bmin, bmax, t_max, ray_valid,
             interpret=interpret, tri_normals=tri_normals,
-            tri_uvs=tri_uvs, tri_soa=tri_soa, bounds8=bounds8)
+            tri_uvs=tri_uvs, tri_soa=tri_soa, bounds8=bounds8,
+            cohsort=cohsort)
         front = jnp.sum(rays.d * normal, axis=-1) < 0.0
         return Hits(hit=hit, t=jnp.where(hit, t, BIG),
                     p=ray_at(rays.o, rays.d, jnp.where(hit, t, 1.0)),

@@ -201,7 +201,8 @@ def _resolve_mesh_backend(backend: str, mesh: MeshGeom) -> Tuple[str, bool]:
 
 
 def _intersect_instance(inst: Instance, rays: Rays, t_min,
-                        ray_valid=None, mesh_backend: str = "xla") -> Hits:
+                        ray_valid=None, mesh_backend: str = "xla",
+                        mesh_cohsort=None) -> Hits:
     r = inst.transform.ray_to_object(rays) if inst.transform else rays
     if inst.kind == "sphere":
         h = isect.intersect_spheres(r, inst.spheres.center,
@@ -223,7 +224,7 @@ def _intersect_instance(inst: Instance, rays: Rays, t_min,
                     m.cluster_id, m.cluster_bmin, m.cluster_bmax,
                     m.mat_id, BIG, ray_valid=ray_valid, backend="pallas",
                     interpret=interpret, tri_soa=m.tri_soa,
-                    bounds8=m.bounds8)
+                    bounds8=m.bounds8, cohsort=mesh_cohsort)
             else:
                 # leaf vertices regathered from the differentiable vertex
                 # array
@@ -354,7 +355,7 @@ def _intersect_medium(med: Medium, rays: Rays, key, bounce, med_index: int,
 
 def intersect_scene(scene: SceneIR, rays: Rays, key, bounce,
                     t_min=mathx.T_MIN, ray_valid=None,
-                    mesh_backend: str = "xla") -> Hits:
+                    mesh_backend: str = "xla", mesh_cohsort=None) -> Hits:
     """Closest hit against the whole scene (vectorized HittableList::hit).
 
     Solids are evaluated independently and min-merged (equivalent to the
@@ -381,7 +382,8 @@ def intersect_scene(scene: SceneIR, rays: Rays, key, bounce,
     for inst in scene.instances:
         best = closer(best, _intersect_instance(inst, rays, t_min,
                                                 ray_valid=ray_valid,
-                                                mesh_backend=mesh_backend))
+                                                mesh_backend=mesh_backend,
+                                                mesh_cohsort=mesh_cohsort))
     for i, med in enumerate(scene.media):
         best = closer(best, _intersect_medium(med, rays, key, bounce, i,
                                               t_min, best.t))
