@@ -127,7 +127,8 @@ def _slab_entries(r, bounds, t_max: float):
 
 
 def _kernel(rays_ref, bounds_ref, tri_ref, id_ref,
-            out_f, out_i, fb, ib, k_clusters: int, t_max: float):
+            out_f, out_i, fb, ib, k_clusters: int, t_max: float,
+            need_uv: bool = True):
     r = rays_ref[0]                      # (B, 8)
     ox, oy, oz = r[:, 0:1], r[:, 1:2], r[:, 2:3]     # (B,1)
     dx, dy, dz = r[:, 3:4], r[:, 4:5], r[:, 5:6]
@@ -186,16 +187,23 @@ def _kernel(rays_ref, bounds_ref, tri_ref, id_ref,
         def pick(x):                     # (B,L) -> (B,1) value at win lane
             return jnp.sum(jnp.where(hot, x, 0.0), axis=1, keepdims=True)
 
-        # smooth normal + UV from MT barycentrics (triangle.cpp:112-128)
+        # smooth normal + UV from MT barycentrics (triangle.cpp:112-128);
+        # UV interpolation is STATICALLY skipped when no material in the
+        # scene samples a texture (need_uv=False saves ~2 (B,L) picks and
+        # 10 interp ops per visit)
         w0 = 1.0 - u - v
         nx = w0 * blk[9:10, :] + u * blk[12:13, :] + v * blk[15:16, :]
         ny = w0 * blk[10:11, :] + u * blk[13:14, :] + v * blk[16:17, :]
         nz = w0 * blk[11:12, :] + u * blk[14:15, :] + v * blk[17:18, :]
-        uu = w0 * blk[18:19, :] + u * blk[20:21, :] + v * blk[22:23, :]
-        vv = w0 * blk[19:20, :] + u * blk[21:22, :] + v * blk[23:24, :]
+        if need_uv:
+            uu = w0 * blk[18:19, :] + u * blk[20:21, :] + v * blk[22:23, :]
+            vv = w0 * blk[19:20, :] + u * blk[21:22, :] + v * blk[23:24, :]
+            uv_cols = [pick(uu), pick(vv)]
+        else:
+            uv_cols = [jnp.zeros((b, 2), jnp.float32)]
         cand = jnp.concatenate(
-            [t_min, pick(nx), pick(ny), pick(nz), pick(uu), pick(vv),
-             jnp.zeros((b, 2), jnp.float32)], axis=1)        # (B,8)
+            [t_min, pick(nx), pick(ny), pick(nz)] + uv_cols
+            + [jnp.zeros((b, 2), jnp.float32)], axis=1)      # (B,8)
         id_win = jnp.sum(jnp.where(hot, ids, 0), axis=1,
                          keepdims=True)                       # (B,1)
         fb[:] = jnp.where(take, cand, fb[:])
@@ -209,10 +217,12 @@ def _kernel(rays_ref, bounds_ref, tri_ref, id_ref,
     out_i[0] = ib[:]
 
 
-@functools.partial(jax.jit, static_argnames=("t_max", "interpret"))
+@functools.partial(jax.jit, static_argnames=("t_max", "interpret",
+                                             "need_uv"))
 def traverse_clusters_pallas(rays8, bounds8, tri_soa, tri_id,
                              t_max: float = float(BIG),
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             need_uv: bool = True):
     """rays8: (NB, B, 8) packed rays; bounds8: (8, K) cluster bounds
     (pack_bounds); tri_soa: (K, 24, L) f32 (pack_mesh_soa); tri_id: (K, L)
     int32. Returns (out (NB, B, 8) f32 = [t nx ny nz u v 0 0],
@@ -222,7 +232,7 @@ def traverse_clusters_pallas(rays8, bounds8, tri_soa, tri_id,
     assert rows == SOA_ROWS, rows
     assert bounds8.shape == (8, k_clusters), bounds8.shape
     kern = functools.partial(_kernel, k_clusters=k_clusters,
-                             t_max=float(t_max))
+                             t_max=float(t_max), need_uv=need_uv)
     out_f, out_i = pl.pallas_call(
         kern,
         grid=(nb,),

@@ -547,7 +547,7 @@ def intersect_mesh_clustered_pallas(rays: Rays, tri_verts, tri_id, bmin,
                                     interpret: bool = False,
                                     tri_normals=None, tri_uvs=None,
                                     tri_soa=None, bounds8=None,
-                                    cohsort=None):
+                                    cohsort=None, need_uv: bool = True):
     """Same contract as intersect_mesh_clustered, but traversal + leaf
     intersection + attribute interpolation run as the fused Pallas kernel
     (kernels/mesh_traverse.py): the cluster slab tests, near-to-far visit
@@ -620,12 +620,15 @@ def intersect_mesh_clustered_pallas(rays: Rays, tri_verts, tri_id, bmin,
 
     out, id_best = kmod.traverse_clusters_pallas(
         rays8.reshape(nb, b, 8), bounds8, tri_soa, tri_id,
-        t_max=float(t_max), interpret=interpret)
+        t_max=float(t_max), interpret=interpret, need_uv=need_uv)
     out = out.reshape(-1, 8)
     id_best = id_best.reshape(-1)
     if cohsort:
         # undo the coherence sort with a scatter (cheaper than building
-        # the inverse permutation via a second argsort)
+        # the inverse permutation via a second argsort). Measured on the
+        # chip: packing id_best into out's spare channel for a single
+        # scatter benched SLOWER end-to-end (1.72M vs 1.80M rays/s) — XLA
+        # already fuses these two same-index scatters into one pass.
         out = jnp.zeros_like(out).at[perm].set(out)
         id_best = jnp.zeros_like(id_best).at[perm].set(id_best)
     out = out[:n_rays]
@@ -639,7 +642,7 @@ def intersect_triangles_bvh(rays: Rays, verts, normals, uvs, indices,
                             ray_valid=None, backend: str = "xla",
                             interpret: bool = False,
                             tri_soa=None, bounds8=None,
-                            cohsort=None) -> Hits:
+                            cohsort=None, need_uv: bool = True) -> Hits:
     """Full mesh hit via the cluster BVH: find (t, tri) then interpolate
     attributes exactly like intersect_triangles. backend: "xla" (exact
     lockstep loop, differentiable) or "pallas" (fused TPU kernel with
@@ -657,7 +660,7 @@ def intersect_triangles_bvh(rays: Rays, verts, normals, uvs, indices,
             rays, tri_verts, tri_id, bmin, bmax, t_max, ray_valid,
             interpret=interpret, tri_normals=tri_normals,
             tri_uvs=tri_uvs, tri_soa=tri_soa, bounds8=bounds8,
-            cohsort=cohsort)
+            cohsort=cohsort, need_uv=need_uv)
         front = jnp.sum(rays.d * normal, axis=-1) < 0.0
         return Hits(hit=hit, t=jnp.where(hit, t, BIG),
                     p=ray_at(rays.o, rays.d, jnp.where(hit, t, 1.0)),

@@ -202,7 +202,7 @@ def _resolve_mesh_backend(backend: str, mesh: MeshGeom) -> Tuple[str, bool]:
 
 def _intersect_instance(inst: Instance, rays: Rays, t_min,
                         ray_valid=None, mesh_backend: str = "xla",
-                        mesh_cohsort=None) -> Hits:
+                        mesh_cohsort=None, need_uv: bool = True) -> Hits:
     r = inst.transform.ray_to_object(rays) if inst.transform else rays
     if inst.kind == "sphere":
         h = isect.intersect_spheres(r, inst.spheres.center,
@@ -224,7 +224,8 @@ def _intersect_instance(inst: Instance, rays: Rays, t_min,
                     m.cluster_id, m.cluster_bmin, m.cluster_bmax,
                     m.mat_id, BIG, ray_valid=ray_valid, backend="pallas",
                     interpret=interpret, tri_soa=m.tri_soa,
-                    bounds8=m.bounds8, cohsort=mesh_cohsort)
+                    bounds8=m.bounds8, cohsort=mesh_cohsort,
+                    need_uv=need_uv)
             else:
                 # leaf vertices regathered from the differentiable vertex
                 # array
@@ -379,11 +380,15 @@ def intersect_scene(scene: SceneIR, rays: Rays, key, bounce,
         best = closer(best, isect.intersect_rects(
             rays, rt.axis, rt.a0, rt.a1, rt.b0, rt.b1, rt.k, rt.mat_id,
             t_min, BIG))
+    # STATIC: when no material in the scene samples a texture, hit UVs are
+    # never consumed — the traversal kernel skips interpolating them
+    need_uv = len(scene.materials.textured) > 0
     for inst in scene.instances:
         best = closer(best, _intersect_instance(inst, rays, t_min,
                                                 ray_valid=ray_valid,
                                                 mesh_backend=mesh_backend,
-                                                mesh_cohsort=mesh_cohsort))
+                                                mesh_cohsort=mesh_cohsort,
+                                                need_uv=need_uv))
     for i, med in enumerate(scene.media):
         best = closer(best, _intersect_medium(med, rays, key, bounce, i,
                                               t_min, best.t))

@@ -104,9 +104,14 @@ def test_pallas_full_scene_render_matches_xla():
     same_mat = np.asarray(h_p.mat_id) == np.asarray(h_x.mat_id)
     assert same_mat.mean() > 0.99
     # in-kernel attribute interpolation (MT barycentrics) vs the XLA
-    # watertight interpolation: same up to fp + rare tie-breaking
-    mesh_hit = m & (np.asarray(h_x.mat_id) == int(
-        np.asarray(job.scene.instances[0].mesh.mat_id)))
+    # watertight interpolation: same up to fp + rare tie-breaking.
+    # The mesh shares its material with the walls (scene file), so mesh
+    # hits are identified by intersecting the mesh instance alone and
+    # asking where it won the closest-hit race.
+    h_mesh = scene_ir._intersect_instance(job.scene.instances[0], rays,
+                                          1e-3, mesh_backend="xla")
+    mesh_hit = (m & np.asarray(h_mesh.hit)
+                & (np.abs(np.asarray(h_mesh.t) - np.asarray(h_x.t)) < 1e-3))
     if mesh_hit.any():
         n_p = np.asarray(h_p.normal)[mesh_hit]
         n_x = np.asarray(h_x.normal)[mesh_hit]
@@ -116,4 +121,20 @@ def test_pallas_full_scene_render_matches_xla():
         assert (cos > 0.999).mean() > 0.98, (cos > 0.999).mean()
         uv_p = np.asarray(h_p.uv)[mesh_hit]
         uv_x = np.asarray(h_x.uv)[mesh_hit]
-        assert (np.abs(uv_p - uv_x) < 2e-3).all(axis=1).mean() > 0.98
+        if job.scene.materials.textured:
+            assert (np.abs(uv_p - uv_x) < 2e-3).all(axis=1).mean() > 0.98
+        else:
+            # no textured material in the scene: the kernel statically
+            # skips UV interpolation and reports zeros (never consumed)
+            assert (uv_p == 0.0).all()
+            # exercise the interpolating variant directly for parity
+            from hobbyraytracer_tpu.ops import intersect as isect
+            mesh = job.scene.instances[0].mesh
+            tf = job.scene.instances[0].transform
+            r_obj = tf.ray_to_object(rays) if tf is not None else rays
+            t2, g2, hit2, n2, uv2 = isect.intersect_mesh_clustered_pallas(
+                r_obj, None, mesh.cluster_id, mesh.cluster_bmin,
+                mesh.cluster_bmax, float(1e30), interpret=True,
+                tri_soa=mesh.tri_soa, bounds8=mesh.bounds8, need_uv=True)
+            uv2 = np.asarray(uv2)[mesh_hit]
+            assert (np.abs(uv2 - uv_x) < 2e-3).all(axis=1).mean() > 0.98
