@@ -106,7 +106,8 @@ def cmd_render(args) -> int:
                 job.scene, job.camera, width, height, samples, key,
                 max_depth=args.max_depth,
                 pool=args.pool or wavefront.DEFAULT_POOL,
-                progress_cb=progress_cb, state=state, checkpoint_cb=ckpt_cb)
+                progress_cb=progress_cb, state=state, checkpoint_cb=ckpt_cb,
+                rr=not args.no_rr)
         img = np.asarray(img)
     else:
         chunk = args.chunk
@@ -217,6 +218,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="resume from --checkpoint if it exists")
         sp.add_argument("--checkpoint-every", type=float, default=30.0,
                         help="seconds between checkpoint writes")
+        sp.add_argument("--no-rr", action="store_true",
+                        help="disable Russian roulette in the wavefront "
+                             "integrator (trace every path to --max-depth "
+                             "like the reference, main.cpp:43; slower, "
+                             "identical expected radiance)")
         # multi-host bootstrap (jax.distributed); single host = no-op
         sp.add_argument("--coordinator", default=None,
                         help="coordinator address host:port for multi-host")

@@ -22,6 +22,7 @@ SCATTER_BALL = 3     # isotropic phase function
 DIELECTRIC_CHOICE = 4
 MEDIUM_FLIGHT = 5
 LENS = 6
+RUSSIAN_ROULETTE = 7
 
 
 def stream(key: jax.Array, purpose: int, bounce=0) -> jax.Array:
