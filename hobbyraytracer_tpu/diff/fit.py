@@ -58,9 +58,12 @@ def select_params(scene: scene_ir.SceneIR, fit_vertices: bool = False):
 
 
 def render_linear(scene: scene_ir.SceneIR, camera, width: int, height: int,
-                  key, n_samples: int, max_depth: int = 6) -> jnp.ndarray:
+                  key, n_samples: int, max_depth: int = 6,
+                  mesh_backend: str = "auto_diff") -> jnp.ndarray:
     """Linear-radiance render (pre-tonemap) with the differentiable
-    integrator. Returns (W*H, 3)."""
+    integrator. Returns (W*H, 3). mesh_backend "auto_diff" = Pallas find
+    over build-time tables (fast, static geometry); vertex fits pass
+    "xla" (the find must track the moving vertices)."""
     x, y = path_mod.pixel_grid(width, height)
 
     def one_sample(acc, s):
@@ -72,7 +75,8 @@ def render_linear(scene: scene_ir.SceneIR, camera, width: int, height: int,
         v = (y + jv) / (height - 1)
         from ..ops.camera import get_rays
         rays = get_rays(camera, u, v, key=kt)
-        return acc + path_mod.trace_diff(scene, rays, kt, max_depth), None
+        return acc + path_mod.trace_diff(scene, rays, kt, max_depth,
+                                         mesh_backend=mesh_backend), None
 
     acc = jnp.zeros((width * height, 3), jnp.float32)
     # scan + per-sample remat: reverse-mode memory stays at ONE sample's
@@ -94,11 +98,12 @@ def _loss_from_image(img, target, tonemapped: bool = True):
 
 
 def render_loss(params, rebuild, camera, width, height, key, n_samples,
-                target, max_depth: int = 6, tonemapped: bool = True):
+                target, max_depth: int = 6, tonemapped: bool = True,
+                mesh_backend: str = "auto_diff"):
     """L2 image loss against `target` ((W*H,3) linear or tonemapped)."""
     scene = rebuild(params)
     img = render_linear(scene, camera, width, height, key, n_samples,
-                        max_depth)
+                        max_depth, mesh_backend=mesh_backend)
     return _loss_from_image(img, target, tonemapped)
 
 
@@ -130,6 +135,11 @@ def fit_materials(scene: scene_ir.SceneIR, camera, target, width, height,
     an emissive shape into place)."""
     key = key if key is not None else jax.random.PRNGKey(0)
     params, rebuild = select_params(scene, fit_vertices)
+    # vertex fits move geometry every step: the mesh FIND must track the
+    # live vertices (XLA traversal). Material-only fits keep geometry
+    # static, so the Pallas find over build-time tables is exact and ~5x
+    # faster (pallas_replay via "auto_diff").
+    mesh_backend = "xla" if fit_vertices else "auto_diff"
     opt = optax.adam(lr)
     opt_state = opt.init(params)
 
@@ -153,13 +163,16 @@ def fit_materials(scene: scene_ir.SceneIR, camera, target, width, height,
         from . import edges as edge_mod
         cur = rebuild(params)
         img = render_linear(cur, camera, width, height, k, n_samples,
-                            max_depth)
+                            max_depth, mesh_backend=mesh_backend)
         w_img = jax.grad(
             lambda im: _loss_from_image(im, target))(img)
         w2d = w_img.reshape(height, width, 3)
 
         def radiance_fn(rays):
-            return path_mod.trace(cur, rays, k, max_depth)
+            # boundary terms only exist for vertex fits: live geometry,
+            # so the forward trace must use the XLA find too
+            return path_mod.trace(cur, rays, k, max_depth,
+                                  mesh_backend="xla")
 
         return [edge_mod.boundary_grad(
             v, e, f, idx, camera, w2d, width, height, radiance_fn, k,
@@ -170,7 +183,7 @@ def fit_materials(scene: scene_ir.SceneIR, camera, target, width, height,
     def step(params, opt_state, k):
         loss, grads = jax.value_and_grad(render_loss)(
             params, rebuild, camera, width, height, k, n_samples, target,
-            max_depth)
+            max_depth, mesh_backend=mesh_backend)
         if edge_tables is not None:
             bg = boundary_terms(params, k)
             grads["verts"] = [g + b for g, b in zip(grads["verts"], bg)]

@@ -44,7 +44,8 @@ def background_colour(scene: scene_ir.SceneIR, d: jnp.ndarray) -> jnp.ndarray:
 
 
 def trace(scene: scene_ir.SceneIR, rays: Rays, key: jax.Array,
-          max_depth: int = MAX_DEPTH) -> jnp.ndarray:
+          max_depth: int = MAX_DEPTH,
+          mesh_backend: str = "auto") -> jnp.ndarray:
     """Radiance for a wavefront of rays. key: single PRNG key; per-ray
     decorrelation comes from array-shaped draws (core/rng.py)."""
     n = rays.o.shape[0]
@@ -56,7 +57,8 @@ def trace(scene: scene_ir.SceneIR, rays: Rays, key: jax.Array,
     def body(state):
         bounce, o, d, result, throughput, active = state
         r = Rays(o=o, d=d)
-        hits = scene_ir.intersect_scene(scene, r, key, bounce)
+        hits = scene_ir.intersect_scene(scene, r, key, bounce,
+                                        mesh_backend=mesh_backend)
 
         miss = active & ~hits.hit
         bg = background_colour(scene, d)
@@ -84,7 +86,8 @@ def trace(scene: scene_ir.SceneIR, rays: Rays, key: jax.Array,
 
 
 def trace_diff(scene: scene_ir.SceneIR, rays: Rays, key: jax.Array,
-               max_depth: int = 8) -> jnp.ndarray:
+               max_depth: int = 8,
+               mesh_backend: str = "auto_diff") -> jnp.ndarray:
     """Differentiable variant of `trace` for the inverse-rendering path.
 
     `lax.while_loop` has no reverse-mode derivative, so the bounce loop runs
@@ -94,13 +97,19 @@ def trace_diff(scene: scene_ir.SceneIR, rays: Rays, key: jax.Array,
     discrete decisions (hit ids, reflect/refract, absorb) are
     stop-gradiented so gradients flow through the sampled path's shading
     chain ("differentiable path replay").
+
+    mesh_backend "auto_diff" (default) finds mesh hits with the Pallas
+    kernel over BUILD-TIME tables and replays differentiably — correct
+    while the geometry is static (material/texture fits). Vertex fits
+    must pass "xla" so the find tracks the moving vertices.
     """
     n = rays.o.shape[0]
 
     def body(state, bounce):
         o, d, result, throughput, active = state
         r = Rays(o=o, d=d)
-        hits = scene_ir.intersect_scene(scene, r, key, bounce)
+        hits = scene_ir.intersect_scene(scene, r, key, bounce,
+                                        mesh_backend=mesh_backend)
 
         miss = active & ~hits.hit
         bg = background_colour(scene, d)
@@ -142,10 +151,13 @@ def pixel_grid(width: int, height: int):
 
 def sample_radiance(scene: scene_ir.SceneIR, camera: Camera, width: int,
                     height: int, key: jax.Array, n_samples: int,
-                    max_depth: int = MAX_DEPTH) -> jnp.ndarray:
+                    max_depth: int = MAX_DEPTH,
+                    mesh_backend: str = "auto") -> jnp.ndarray:
     """Sum of radiance over n_samples jittered samples per pixel.
     Returns (W*H, 3). Jitter: u=(x+U)/(W-1), v=(y+U)/(H-1)
-    (main.cpp:120-121)."""
+    (main.cpp:120-121). mesh_backend "xla" is required under GSPMD
+    auto-partitioning (parallel/shard.py:render_sharded) — the Pallas
+    traversal has no SPMD partitioning rule."""
     x, y = pixel_grid(width, height)
 
     def one_sample(s, acc):
@@ -156,13 +168,15 @@ def sample_radiance(scene: scene_ir.SceneIR, camera: Camera, width: int,
         u = (x + ju) / (width - 1)
         v = (y + jv) / (height - 1)
         rays = get_rays(camera, u, v, key=kt)
-        return acc + trace(scene, rays, kt, max_depth)
+        return acc + trace(scene, rays, kt, max_depth,
+                           mesh_backend=mesh_backend)
 
     acc = jnp.zeros((width * height, 3), jnp.float32)
     return jax.lax.fori_loop(0, n_samples, one_sample, acc)
 
 
-_sample_radiance_jit = jax.jit(sample_radiance, static_argnums=(2, 3, 5, 6))
+_sample_radiance_jit = jax.jit(sample_radiance,
+                               static_argnums=(2, 3, 5, 6, 7))
 
 
 def render_image(scene: scene_ir.SceneIR, camera: Camera, width: int,

@@ -666,15 +666,28 @@ def intersect_triangles_bvh(rays: Rays, verts, normals, uvs, indices,
                     p=ray_at(rays.o, rays.d, jnp.where(hit, t, 1.0)),
                     normal=normal, uv=uv, front_face=front,
                     mat_id=jnp.where(hit, mat_id, -1))
-    # the exact ordered traversal runs behind stop_gradient (its
-    # while_loop has no transpose rule); everything differentiable is
-    # REPLAYED from the winning triangle id: t via the watertight formula,
-    # attributes via barycentrics — the same path-replay discipline the
-    # shading chain uses for discrete decisions
+    # Differentiable paths: the discrete FIND (which triangle wins) runs
+    # behind stop_gradient — via the exact XLA traversal (backend="xla",
+    # always correct, tracks live vertex positions) or the fused Pallas
+    # kernel over the BUILD-TIME tables (backend="pallas_replay", ~5x
+    # faster; exact while the geometry is static, i.e. material/texture
+    # fits — vertex fits must use "xla" so moved vertices are FOUND, not
+    # just replayed). Everything differentiable is then REPLAYED from the
+    # winning triangle id: t via the watertight formula, attributes via
+    # barycentrics — the same path-replay discipline the shading chain
+    # uses for discrete decisions.
     sg = jax.lax.stop_gradient
-    t_nd, gid, hit = intersect_mesh_clustered(
-        Rays(o=sg(rays.o), d=sg(rays.d)), sg(tri_verts), tri_id,
-        sg(bmin), sg(bmax), t_max, ray_valid)
+    if backend == "pallas_replay":
+        assert tri_soa is not None and bounds8 is not None
+        t_nd, gid, hit, _, _ = intersect_mesh_clustered_pallas(
+            Rays(o=sg(rays.o), d=sg(rays.d)), None, tri_id,
+            bmin, bmax, t_max, ray_valid, interpret=interpret,
+            tri_soa=tri_soa, bounds8=bounds8, cohsort=cohsort,
+            need_uv=False)
+    else:
+        t_nd, gid, hit = intersect_mesh_clustered(
+            Rays(o=sg(rays.o), d=sg(rays.d)), sg(tri_verts), tri_id,
+            sg(bmin), sg(bmax), t_max, ray_valid)
     safe = jnp.maximum(gid, 0)
     i0 = indices[safe, 0]
     i1 = indices[safe, 1]

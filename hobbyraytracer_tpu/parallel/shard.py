@@ -73,10 +73,13 @@ def render_sharded(scene, camera, width: int, height: int, samples: int,
     camera_r = jax.device_put(camera, NamedSharding(mesh, P()))
     out_sharding = NamedSharding(mesh, P(RAY_AXIS))
 
-    fn = jax.jit(path_mod.sample_radiance, static_argnums=(2, 3, 5, 6),
+    # mesh_backend="xla": the Pallas traversal has no GSPMD partitioning
+    # rule; the XLA traversal partitions over the rays axis like any op
+    fn = jax.jit(path_mod.sample_radiance, static_argnums=(2, 3, 5, 6, 7),
                  out_shardings=out_sharding)
     if sample_chunk <= 0 or sample_chunk >= samples:
-        total = fn(scene_r, camera_r, width, height, key, samples, max_depth)
+        total = fn(scene_r, camera_r, width, height, key, samples,
+                   max_depth, "xla")
     else:
         total = None
         done = 0
@@ -84,7 +87,8 @@ def render_sharded(scene, camera, width: int, height: int, samples: int,
         while done < samples:
             c = min(sample_chunk, samples - done)
             part = fn(scene_r, camera_r, width, height,
-                      jax.random.fold_in(key, 1000003 + i), c, max_depth)
+                      jax.random.fold_in(key, 1000003 + i), c, max_depth,
+                      "xla")
             total = part if total is None else total + part
             done += c
             i += 1

@@ -26,8 +26,10 @@ def hall_environment(width=512, height=256) -> np.ndarray:
     sky_t = np.clip(v / 0.5, 0.0, 1.0)
     sky = ((1 - sky_t)[..., None] * np.array([0.35, 0.45, 0.70])
            + sky_t[..., None] * np.array([0.9, 0.85, 0.75]))
-    # ground: warm brown below horizon
-    ground = np.broadcast_to(np.array([0.25, 0.17, 0.12]),
+    # ground: warm bright bounce below the horizon — the big_shiny golden
+    # (shiny teapot against the real old_hall_4k.hdr) reads ~0.56
+    # tonemapped in its lower third, i.e. ~0.17 linear warm
+    ground = np.broadcast_to(np.array([1.40, 1.10, 0.75]),
                              (height, width, 3)).copy()
     img = np.where((v < 0.52)[..., None], sky, ground).astype(np.float32)
     # window panels: 4 bright vertical rectangles around the azimuth
@@ -41,15 +43,50 @@ def hall_environment(width=512, height=256) -> np.ndarray:
     return img * np.float32(0.14)
 
 
+def sky_environment(width=512, height=256) -> np.ndarray:
+    """(H,W,3) float32 linear equirect: bright blue daytime sky above a
+    dim grey ground — the backdrop of the Awesome-Reflections golden
+    (sampleImages/Awesome-Reflections.bmp: sky-white top, mirror floor).
+    Sky level ~0.8 linear tonemaps to the golden's ~0.87 top-third."""
+    v = np.linspace(0.0, 1.0, height, dtype=np.float32)[:, None]
+    up = np.clip(1.0 - v / 0.5, 0.0, 1.0)[..., None]     # 1 at zenith
+    sky = (up * np.array([0.55, 0.68, 0.95])
+           + (1 - up) * np.array([0.95, 0.97, 1.05])) * 0.85
+    ground = np.broadcast_to(np.array([0.18, 0.18, 0.20]),
+                             (height, width, 3))
+    img = np.where((v < 0.5)[..., None],
+                   np.broadcast_to(sky, (height, width, 3)),
+                   ground).astype(np.float32)
+    return np.ascontiguousarray(img)
+
+
+# bump when a procedural generator changes so cached assets regenerate
+FIXTURE_VERSION = 3
+
+
 def ensure_assets(asset_dir: str = ASSET_DIR) -> dict:
-    """Create the generated assets if missing; returns their paths."""
+    """Create the generated assets if missing or stale; returns paths."""
     os.makedirs(asset_dir, exist_ok=True)
+    ver_path = os.path.join(asset_dir, ".fixture_version")
+    stale = True
+    if os.path.exists(ver_path):
+        try:
+            stale = int(open(ver_path).read().strip()) != FIXTURE_VERSION
+        except ValueError:
+            pass
     teapot_path = os.path.join(asset_dir, "teapot.obj")
     hall_path = os.path.join(asset_dir, "hall.hdr")
+    sky_path = os.path.join(asset_dir, "sky.hdr")
     if not os.path.exists(teapot_path):
         from .procgen import ensure_asset_obj
         ensure_asset_obj(teapot_path, "teapot")
-    if not os.path.exists(hall_path):
+    if stale or not os.path.exists(hall_path):
         from ..io import hdr
         hdr.write_hdr(hall_path, hall_environment())
-    return {"teapot": teapot_path, "hall": hall_path}
+    if stale or not os.path.exists(sky_path):
+        from ..io import hdr
+        hdr.write_hdr(sky_path, sky_environment())
+    if stale:
+        with open(ver_path, "w") as fh:
+            fh.write(str(FIXTURE_VERSION))
+    return {"teapot": teapot_path, "hall": hall_path, "sky": sky_path}

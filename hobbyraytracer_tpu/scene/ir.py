@@ -166,17 +166,20 @@ _VMEM_FALLBACK_WARNED: set = set()
 
 
 def _resolve_mesh_backend(backend: str, mesh: MeshGeom) -> Tuple[str, bool]:
-    """Resolve "auto" to (backend, interpret) for one mesh. The Pallas
-    kernel is forward-only and needs the mesh resident in VMEM; anything
-    else uses the XLA traversal. HRT_NO_PALLAS=1 forces XLA;
-    HRT_PALLAS_INTERPRET=1 runs the kernel in interpreter mode (CPU
-    parity tests)."""
+    """Resolve "auto" / "auto_diff" to (backend, interpret) for one mesh.
+    The Pallas kernel needs the mesh resident in VMEM; anything else uses
+    the XLA traversal. "auto_diff" (the differentiable-trace request)
+    resolves to "pallas_replay" — kernel FIND over the build-time tables +
+    differentiable replay — instead of the forward-only "pallas".
+    HRT_NO_PALLAS=1 forces XLA; HRT_PALLAS_INTERPRET=1 runs the kernel in
+    interpreter mode (CPU parity tests)."""
     import logging
     import os
 
     from ..kernels import mesh_fits_vmem
-    if backend != "auto":
+    if backend not in ("auto", "auto_diff"):
         return backend, False
+    pallas_name = "pallas_replay" if backend == "auto_diff" else "pallas"
     if os.environ.get("HRT_NO_PALLAS"):
         return "xla", False
     k, leaf = mesh.cluster_id.shape
@@ -193,10 +196,10 @@ def _resolve_mesh_backend(backend: str, mesh: MeshGeom) -> Tuple[str, bool]:
                 "mesh to restore the fused kernel.", k, leaf)
         return "xla", False
     if os.environ.get("HRT_PALLAS_INTERPRET"):
-        return "pallas", True
+        return pallas_name, True
     platforms = {d.platform.lower() for d in jax.devices()}
     if platforms & {"tpu", "axon"}:
-        return "pallas", False
+        return pallas_name, False
     return "xla", False
 
 
@@ -226,6 +229,19 @@ def _intersect_instance(inst: Instance, rays: Rays, t_min,
                     interpret=interpret, tri_soa=m.tri_soa,
                     bounds8=m.bounds8, cohsort=mesh_cohsort,
                     need_uv=need_uv)
+            elif backend == "pallas_replay" and m.tri_soa is not None:
+                # differentiable path: kernel FIND over the build-time
+                # tables (static geometry), replay over the live vertex
+                # array — material/texture gradients at kernel speed.
+                # Vertex fits pass mesh_backend="xla" instead (the find
+                # must track moving vertices).
+                h = isect.intersect_triangles_bvh(
+                    r, m.verts, m.normals, m.uvs, m.indices, None,
+                    m.cluster_id, m.cluster_bmin, m.cluster_bmax,
+                    m.mat_id, BIG, ray_valid=ray_valid,
+                    backend="pallas_replay", interpret=interpret,
+                    tri_soa=m.tri_soa, bounds8=m.bounds8,
+                    cohsort=mesh_cohsort)
             else:
                 # leaf vertices regathered from the differentiable vertex
                 # array
@@ -246,7 +262,11 @@ def _intersect_instance(inst: Instance, rays: Rays, t_min,
                 h = isect.intersect_triangles_bvh(
                     r, m.verts, m.normals, m.uvs, m.indices, tri_verts,
                     m.cluster_id, bmin, bmax, m.mat_id,
-                    BIG, ray_valid=ray_valid, backend=backend,
+                    BIG, ray_valid=ray_valid,
+                    # replay without prebuilt tables degrades to the XLA
+                    # find (it needs the build-time tri_soa/bounds8)
+                    backend="xla" if backend == "pallas_replay"
+                    else backend,
                     interpret=interpret)
         else:
             h = isect.intersect_triangles(r, m.verts, m.normals, m.uvs,

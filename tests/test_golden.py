@@ -59,20 +59,27 @@ def _grid_corr(a, b, n=8):
 
 
 def test_cornell_box_matches_golden():
+    """Tolerances derived from the round-3 calibration sweep: per-region
+    residual after calibrating (red 0.80 / green dimmed / warm light /
+    fov 38) plus >= 2x the seed-to-seed std of each region mean at 48 spp
+    (measured sigma 0.01-0.03 per channel over 4 seeds):
+
+    - walls: residual <= 0.07, sigma <= 0.033 -> tol 0.12 (margin > 2x).
+    - floor-third: the golden shows brightly lit floor where the classic
+      Cornell layout puts the short box's shaded front face — a structural
+      difference of the UNKNOWN golden scene, not radiometry — residual
+      ~0.12 -> tol 0.18, with the hue ordering asserted separately."""
     ours = _render("cornell_box.yaml", 64, 64)
     ref = _golden("Cornell-Box.png", (64, 64))
     h = w = 64
-    assert abs(ours.mean() - ref.mean()) < 0.10, (ours.mean(), ref.mean())
-    # 0.16 on the dominant channel: the golden's red wall reads hotter
-    # than a classic 0.65-albedo Cornell red can reach — its unknown scene
-    # likely used a brighter red; the minority channels pin the hue tightly
+    assert abs(ours.mean() - ref.mean()) < 0.06, (ours.mean(), ref.mean())
     for sl, label, tol in [
             ((slice(h // 4, 3 * h // 4), slice(0, w // 8)),
-             "left wall", 0.10),
+             "left wall", 0.12),
             ((slice(h // 4, 3 * h // 4), slice(-w // 8, None)),
-             "right wall", 0.16),
+             "right wall", 0.12),
             ((slice(-h // 8, None), slice(w // 4, 3 * w // 4)),
-             "floor", 0.10)]:
+             "floor", 0.18)]:
         o = ours[sl].mean(axis=(0, 1))
         r = ref[sl].mean(axis=(0, 1))
         np.testing.assert_allclose(o, r, atol=tol, err_msg=label)
@@ -117,8 +124,79 @@ def test_self_golden_regression():
     tolerances are loose: stats of cornell at fixed seed/spp. Update these
     only with an investigated radiometry change."""
     ours = _render("cornell_box.yaml", 48, 48, spp=24, seed=7)
-    mean = float(ours.mean())  # 0.243 at this seed/spp as of r2 calibration
-    assert 0.20 < mean < 0.32, mean
-    lw = ours[12:36, :6].mean(axis=(0, 1))  # [0.181, 0.230, 0.138] at r2
-    assert lw[1] > 1.15 * lw[0] > 0.0, lw
-    assert lw[1] > 1.4 * lw[2], lw
+    mean = float(ours.mean())  # 0.196 (seed 7) / 0.206 (seed 8) at the
+    assert 0.16 < mean < 0.26, mean  # r3 calibration (fov 38, warm light)
+    lw = ours[12:36, :6].mean(axis=(0, 1))  # [0.193, 0.244, 0.124] at r3
+    assert lw[1] > 1.1 * lw[0] > 0.0, lw
+    assert lw[1] > 1.6 * lw[2], lw
+
+
+def test_self_golden_teapot():
+    """Pinned stats of OUR teapot render (fixed seed, 24 spp): regressions
+    can't hide behind the loose reference gates (procedural stand-in
+    assets). Measured seed 7/8 at fixture v3 (warm hall ground):
+    mean 0.356/0.354, centre RGB ~[0.54, 0.47, 0.34]. Update only with an
+    investigated radiometry change."""
+    ours = _render("teapot_scene.yaml", 48, 48, spp=24, seed=7)
+    mean = float(ours.mean())
+    assert 0.30 < mean < 0.41, mean
+    c = ours[16:32, 16:32].mean(axis=(0, 1))
+    assert c[0] > c[1] > c[2], c  # warm centre (light + teapot)
+    assert 0.44 < c[0] < 0.66, c
+
+
+def test_self_golden_scattered_balls():
+    """Pinned stats of OUR scattered-balls render. Measured seed 7/8:
+    mean 0.642/0.643, top-third (sky) 0.812/0.811, bottom-third 0.544/0.545,
+    centre RGB ~[0.575, 0.581, 0.597] (cool: sky-lit)."""
+    ours = _render("scattered_balls.yaml", 64, 36, spp=16, seed=7)
+    mean = float(ours.mean())
+    assert 0.58 < mean < 0.70, mean
+    top = float(ours[:12].mean())
+    bot = float(ours[-12:].mean())
+    assert 0.75 < top < 0.88 and 0.48 < bot < 0.62, (top, bot)
+    c = ours[12:24, 21:43].mean(axis=(0, 1))
+    assert c[2] > c[0] - 0.01, c  # sky-lit: blue not dominated by red
+
+
+def test_big_shiny_matches_golden():
+    """big_shiny.png = the shiny_teapot scene (the fit target) at
+    1920x1080: rough-metal teapot lit only by the hall environment. The
+    real old_hall_4k.hdr is a missing LFS blob, so the env is a procedural
+    stand-in and gates are tonemapped-statistics only (the golden's warm
+    floor-vs-sky split informs the stand-in's ground level)."""
+    ours = _render("shiny_teapot.yaml", 64, 36, spp=24)
+    ref = _golden("big_shiny.png", (64, 36))
+    assert abs(ours.mean() - ref.mean()) < 0.12, (ours.mean(), ref.mean())
+    # both halves moderately lit (no blown-out or black thirds)
+    for img in (ours, ref):
+        assert 0.25 < img[:12].mean() < 0.75, img[:12].mean()
+        assert 0.25 < img[-12:].mean() < 0.75, img[-12:].mean()
+    # centre (teapot body) is a warm reflective grey in both
+    co = ours[12:24, 21:43].mean(axis=(0, 1))
+    cr = ref[12:24, 21:43].mean(axis=(0, 1))
+    assert co[0] >= co[2] - 0.02 and cr[0] >= cr[2] - 0.02, (co, cr)
+    np.testing.assert_allclose(co, cr, atol=0.20)
+
+
+def test_awesome_reflections_matches_golden():
+    """Awesome-Reflections.bmp: reflective teapot on a mirror floor under
+    a bright sky, its reflection visible in the floor. Reconstruction
+    scene: scenes/awesome_reflections.yaml (procedural sky + teapot).
+    Measured at calibration: ours mean 0.625 / golden 0.667, top-third
+    0.861/0.873, bottom-third 0.422/0.399."""
+    ours = _render("awesome_reflections.yaml", 64, 36, spp=24)
+    ref = _golden("Awesome-Reflections.bmp", (64, 36))
+    assert abs(ours.mean() - ref.mean()) < 0.10, (ours.mean(), ref.mean())
+    # sky-bright top, mirror-floor bottom, in both
+    assert abs(ours[:12].mean() - ref[:12].mean()) < 0.10
+    assert abs(ours[-12:].mean() - ref[-12:].mean()) < 0.10
+    assert ours[:12].mean() > ours[-12:].mean() + 0.2
+    assert ref[:12].mean() > ref[-12:].mean() + 0.2
+    # the floor shows a reflection: bottom-centre darker than bottom-edge
+    for img in (ours, ref):
+        centre = img[26:36, 24:40].mean()
+        edge = np.concatenate([img[26:36, :12], img[26:36, -12:]],
+                              axis=1).mean()
+        assert centre < edge - 0.02, (centre, edge)
+    assert _grid_corr(ours, ref) > 0.6

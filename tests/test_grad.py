@@ -237,3 +237,38 @@ def test_fit_recovers_albedo(cornell_job):
     # red wall recovered to the right hue
     red = np.asarray(res.scene.materials.albedo[2])
     assert red[0] > 2.5 * red[1], red
+
+
+def test_pallas_replay_grads_match_xla():
+    """The fast differentiable path (Pallas FIND over build-time tables +
+    differentiable replay, mesh_backend="auto_diff"/"pallas_replay") must
+    produce the same material gradients as the XLA find on a static-
+    geometry scene (interpret mode stands in for the chip)."""
+    from hobbyraytracer_tpu.diff.fit import render_loss, select_params
+    from hobbyraytracer_tpu.scene.fixtures import ensure_assets
+
+    ensure_assets()
+    job = build_scene(load_scene_desc(os.path.join(SCENES,
+                                                   "teapot_scene.yaml")))
+    w = h = 16
+    key = jax.random.PRNGKey(3)
+    params, rebuild = select_params(job.scene)
+    from hobbyraytracer_tpu.diff.fit import render_linear
+    target = render_linear(job.scene, job.camera, w, h,
+                           jax.random.PRNGKey(9), 1, 3)
+
+    def loss(p, backend):
+        return render_loss(p, rebuild, job.camera, w, h, key, 1, target,
+                           3, mesh_backend=backend)
+
+    lx, gx = jax.value_and_grad(loss)(params, "xla")
+    os.environ["HRT_PALLAS_INTERPRET"] = "1"
+    try:
+        lp, gp = jax.value_and_grad(loss)(params, "auto_diff")
+    finally:
+        del os.environ["HRT_PALLAS_INTERPRET"]
+    np.testing.assert_allclose(float(lp), float(lx), rtol=1e-4)
+    for f in ("albedo", "roughness", "strength"):
+        np.testing.assert_allclose(np.asarray(gp["materials"][f]),
+                                   np.asarray(gx["materials"][f]),
+                                   rtol=2e-3, atol=2e-5, err_msg=f)
