@@ -94,13 +94,18 @@ def cmd_render(args) -> int:
                     last_ck[0] = time.time()
 
         n_dev = len(jax.devices())
-        if n_dev > 1 and state is None and ckpt_cb is None:
-            # multi-chip: one drain loop per device over its item slice
+        if n_dev > 1:
+            # multi-chip: one drain loop per device over its item slice,
+            # chunked on the host so progress + checkpoint/resume work
+            # exactly like the single-device path (the state checkpoint
+            # carries a leading device axis; resume needs the same mesh)
             from ..parallel.shard import make_mesh, render_wavefront_sharded
             img = render_wavefront_sharded(
                 job.scene, job.camera, width, height, samples, key,
                 make_mesh(n_dev), max_depth=args.max_depth,
-                pool=args.pool or wavefront.DEFAULT_POOL)
+                pool=args.pool or wavefront.DEFAULT_POOL,
+                progress_cb=progress_cb, checkpoint_cb=ckpt_cb,
+                state=state, rr=not args.no_rr)
         else:
             img = wavefront.render_image(
                 job.scene, job.camera, width, height, samples, key,

@@ -100,7 +100,9 @@ def render_sharded(scene, camera, width: int, height: int, samples: int,
 def render_wavefront_sharded(scene, camera, width: int, height: int,
                              samples: int, key, mesh: Mesh,
                              max_depth: int = path_mod.MAX_DEPTH,
-                             pool: int = 0):
+                             pool: int = 0, steps_per_call: int = 256,
+                             progress_cb=None, checkpoint_cb=None,
+                             state=None, rr: bool = True):
     """Data-parallel regenerative-wavefront render over the mesh.
 
     TPU-native version of the reference's per-pixel thread pool
@@ -108,9 +110,19 @@ def render_wavefront_sharded(scene, camera, width: int, height: int,
     contiguous slice per device; `shard_map` runs each device's OWN
     drain loop (integrator/wavefront.py) over its slice with its own ray
     pool and RNG stream — zero collectives inside the loop, exactly the
-    reference's embarrassing parallelism — then ONE `psum` merges the
-    per-device framebuffer partials (each device only writes pixels of
-    its own items, so the sum is a disjoint scatter merge).
+    reference's embarrassing parallelism — and the per-device framebuffer
+    partials are summed at the end (each device's items cover its own
+    pixels; colliding pixels across devices sum correctly).
+
+    The drain runs in host-driven chunks of `steps_per_call` segments
+    (like the single-device renderer), so progress reporting and
+    checkpoint/resume work on multi-chip renders too:
+    - progress_cb(retired_samples, total_samples) after every chunk;
+    - checkpoint_cb(stacked_state) after every chunk — the state is a
+      PoolState whose leaves carry a leading device axis (n, ...); it
+      round-trips through io/checkpoint unchanged;
+    - state resumes from such a stacked checkpoint (device count must
+      match the mesh).
 
     Returns the tonemapped (H, W, 3) image. RNG streams differ from the
     single-device renderer (each worker folds its shard index into the
@@ -125,6 +137,7 @@ def render_wavefront_sharded(scene, camera, width: int, height: int,
     n = mesh.devices.size
     _, n_chunks, _ = wf._chunk_geometry(samples, wf.SAMPLE_CHUNK)
     total = width * height * n_chunks  # work ITEMS (sample chunks)
+    total_samples = width * height * samples
     per = -(-total // n)  # ceil
     pool_per = min(max(pool // n, 1) if pool else wf.DEFAULT_POOL // n
                    or 1, per)
@@ -134,36 +147,64 @@ def render_wavefront_sharded(scene, camera, width: int, height: int,
 
     scene_r = replicate_scene(scene, mesh)
     camera_r = jax.device_put(camera, NamedSharding(mesh, P()))
+    shard1 = NamedSharding(mesh, P(RAY_AXIS))
 
-    def worker(scene, camera, keys_l, item0_l, tot_l):
+    if state is None:
+        base = wf.init_state(width, height, pool_per)
+        state = jax.tree.map(
+            lambda x: jnp.tile(x[None], (n,) + (1,) * x.ndim), base)
+    else:
+        lead = jax.tree.leaves(state)[0].shape[0]
+        if lead != n:
+            raise ValueError(
+                f"checkpoint has {lead} worker states, mesh has {n} "
+                "devices — resume on the same mesh size")
+    state = jax.device_put(state, shard1)
+
+    def worker_chunk(state_l, scene, camera, keys_l, item0_l, tot_l):
         k = keys_l[0]
         i0 = item0_l[0]
         tl = tot_l[0]
-        state = wf.init_state(width, height, pool_per)
+        s0 = jax.tree.map(lambda x: x[0], state_l)
 
         def cond(c):
-            s, _ = c
-            return (s.counter < tl) | jnp.any(s.item >= 0)
+            s, i = c
+            return ((i < steps_per_call)
+                    & ((s.counter < tl) | jnp.any(s.item >= 0)))
 
         def body(c):
             s, i = c
             s = wf._regenerate(s, camera, width, height, tl, k, item0=i0)
-            s = wf._segment(s, scene, width, height, k, max_depth, samples)
+            s = wf._segment(s, scene, width, height, k, max_depth,
+                            samples, rr=rr)
             return s, i + 1
 
-        state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
-        return jax.lax.psum(wf.framebuffer(state, width, height), RAY_AXIS)
+        s, _ = jax.lax.while_loop(cond, body, (s0, jnp.int32(0)))
+        return jax.tree.map(lambda x: x[None], s)
 
     # check_vma=False: the integrator's scan carries start as replicated
     # constants and become device-varying on the first iteration — the
-    # varying-type checker rejects that; collective correctness here is
-    # just the single explicit psum above.
-    fb = jax.jit(shard_map(
-        worker, mesh=mesh,
-        in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
-        out_specs=P(), check_vma=False))(
-        scene_r, camera_r, keys, item0, tot_local)
-    img = film_ops.tonemap(fb / jnp.float32(samples))
+    # varying-type checker rejects that; there are no collectives inside
+    # the drain loop at all.
+    step = jax.jit(shard_map(
+        worker_chunk, mesh=mesh,
+        in_specs=(P(RAY_AXIS), P(), P(), P(RAY_AXIS), P(RAY_AXIS),
+                  P(RAY_AXIS)),
+        out_specs=P(RAY_AXIS), check_vma=False),
+        donate_argnums=0)
+
+    while True:
+        state = step(state, scene_r, camera_r, keys, item0, tot_local)
+        retired = int(jax.device_get(jnp.sum(state.retired)))
+        if progress_cb is not None:
+            progress_cb(retired, total_samples)
+        if checkpoint_cb is not None:
+            checkpoint_cb(state)
+        if retired >= total_samples:
+            break
+
+    fb = jnp.sum(state.fb, axis=0)  # (3, W*H) merged over workers
+    img = film_ops.tonemap(fb.T / jnp.float32(samples))
     return img.reshape(height, width, 3)
 
 
