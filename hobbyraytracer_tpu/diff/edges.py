@@ -16,9 +16,25 @@ where w is the per-pixel loss weight, f_in/f_out the radiance on the two
 sides of the edge (estimated with the forward integrator at x ± ε n̂),
 n̂ the image-space edge normal, and ∂x_img/∂θ the image-space velocity of
 the edge point under the vertex parameters (exact, via VJP through the
-camera projection). Secondary-bounce silhouettes are not handled
-(documented limitation; the interior term still covers shading/normal/UV
-dependence at every bounce).
+camera projection).
+
+SHADOW silhouettes (round 3, `shadow_boundary_grad`): a blocker's vertex
+also sweeps the SHADOW it casts across receiver surfaces — a secondary
+discontinuity the primary term cannot see (the blocker may be entirely
+off-screen). For a compact emitter at position l, the shadow boundary in
+image space is the projection of the blocker's l-silhouette edges through
+l onto the receiver: edge point x maps to the receiver point
+y = l + τ(x)(x − l) (τ from the receiver's local tangent plane, found
+with one forward occlusion cast), and then through the camera. The same
+boundary estimator then applies with ∂x_img/∂θ following the whole chain
+x → y → image by VJP. Penumbra blur from emitter AREA is not modeled
+(the emitter is treated as a point at l — exact in the small-emitter
+limit; set eps_px to roughly the penumbra width in pixels so the two-
+sided radiance probes straddle the whole ramp). Glossy-reflection
+silhouettes, and variance reduction strong enough for shadow-DRIVEN
+optimization under this no-NEE integrator, remain future work — the term
+is FD-validated (tests/test_edges.py::test_shadow_boundary_grad_matches
+_fd) and wired into fit_materials(shadow_light=...).
 
 The reference renderer has no autodiff at all — this subsystem is the
 framework's extension target (BASELINE.json north star:
@@ -38,6 +54,8 @@ from ..ops.camera import Camera, get_rays
 # RNG purpose tags local to edge sampling
 _EDGE_PICK = 201
 _EDGE_S = 202
+_EDGE_PICK_SH = 203
+_EDGE_S_SH = 204
 
 
 def build_edge_table(indices: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -156,5 +174,95 @@ def boundary_grad(verts: jnp.ndarray, edges, efaces, indices, cam: Camera,
     coeff = (jnp.where(sil, 1.0, 0.0) * df * elen
              * (edges.shape[0] / n_samples) / a_pix)      # (K,)
     cot = coeff[:, None] * nhat                           # (K,2)
+    (dverts,) = vjp(jax.lax.stop_gradient(cot))
+    return dverts
+
+
+def shadow_boundary_grad(verts: jnp.ndarray, edges, efaces, indices,
+                         light_pos: jnp.ndarray, cam: Camera,
+                         weight: jnp.ndarray, width: int, height: int,
+                         radiance_fn: Callable[[Rays], jnp.ndarray],
+                         hit_fn: Callable[[Rays], object],
+                         key: jax.Array, n_samples: int = 4096,
+                         eps_px: float = 0.5) -> jnp.ndarray:
+    """d(sum(weight * image)) / d(verts): SHADOW-silhouette boundary term
+    for a blocker mesh lit by a compact emitter at `light_pos`.
+
+    hit_fn maps a Rays batch to a Hits record (forward scene intersect;
+    only .p / .normal / .hit are read, all under stop_gradient) — it finds
+    the RECEIVER surface behind each sampled edge point along the
+    light->edge line. radiance_fn is the forward integrator; the radiance
+    difference across the projected shadow edge supplies f_in - f_out
+    (which includes every indirect effect the renderer models)."""
+    l = jnp.asarray(light_pos, jnp.float32)
+    e_sel = jax.random.randint(jax.random.fold_in(key, _EDGE_PICK_SH),
+                               (n_samples,), 0, edges.shape[0])
+    s_par = jax.random.uniform(jax.random.fold_in(key, _EDGE_S_SH),
+                               (n_samples,))
+    sil = silhouette_mask(verts, indices, edges, efaces, l)[e_sel]
+
+    va_idx = edges[e_sel, 0]
+    vb_idx = edges[e_sel, 1]
+    sg = jax.lax.stop_gradient
+
+    # receiver behind the edge point along the light ray (forward cast,
+    # non-differentiable): origin just past the blocker
+    x0 = sg((1.0 - s_par)[:, None] * verts[va_idx]
+            + s_par[:, None] * verts[vb_idx])
+    dvec = x0 - l
+    dist = jnp.linalg.norm(dvec, axis=-1, keepdims=True)
+    dhat = dvec / jnp.maximum(dist, 1e-12)
+    h = hit_fn(Rays(o=x0 + 1e-3 * dhat, d=dhat))
+    y0 = sg(h.p)                                          # (K,3)
+    n0 = sg(h.normal)
+    ok_recv = sg(h.hit)
+    # degenerate receiver orientation (grazing plane) -> drop sample
+    denom0 = jnp.sum((x0 - l) * n0, axis=-1)
+    ok_recv = ok_recv & (jnp.abs(denom0) > 1e-6)
+
+    def shadow_img(p):
+        """Blocker point (K,3) -> image position of its shadow on the
+        receiver's local tangent plane (differentiable in p)."""
+        tau = (jnp.sum((y0 - l) * n0, axis=-1)
+               / jnp.sum((p - l) * n0, axis=-1))
+        y = l + tau[:, None] * (p - l)
+        return project(cam, y)
+
+    def img_pos(vs):
+        p = ((1.0 - s_par)[:, None] * vs[va_idx]
+             + s_par[:, None] * vs[vb_idx])
+        return shadow_img(p)
+
+    x_img, vjp = jax.vjp(img_pos, verts)                  # (K,2)
+    # image-space direction of the PROJECTED edge (same tangent planes)
+    pa_img = shadow_img(verts[va_idx])
+    pb_img = shadow_img(verts[vb_idx])
+    ev = pb_img - pa_img
+    elen = jnp.linalg.norm(ev, axis=-1)
+    ehat = ev / jnp.maximum(elen, 1e-12)[:, None]
+    nhat = jnp.stack([-ehat[:, 1], ehat[:, 0]], axis=-1)
+
+    eps = jnp.asarray([eps_px / (width - 1), eps_px / (height - 1)],
+                      jnp.float32)
+    x_p = x_img + eps * nhat
+    x_m = x_img - eps * nhat
+    f_p = radiance_fn(get_rays(cam, x_p[:, 0], x_p[:, 1]))
+    f_m = radiance_fn(get_rays(cam, x_m[:, 0], x_m[:, 1]))
+
+    col = jnp.floor(x_img[:, 0] * (width - 1)).astype(jnp.int32)
+    y_pix = jnp.floor(x_img[:, 1] * (height - 1)).astype(jnp.int32)
+    row = height - y_pix
+    inside = ((col >= 0) & (col < width) & (row >= 0) & (row < height))
+    w_pix = jnp.where(
+        inside[:, None],
+        weight[jnp.clip(row, 0, height - 1), jnp.clip(col, 0, width - 1)],
+        0.0)
+
+    a_pix = (1.0 / (width - 1)) * (1.0 / (height - 1))
+    df = jnp.sum(w_pix * (f_m - f_p), axis=-1)
+    valid = sil & ok_recv & jnp.isfinite(elen)
+    coeff = (jnp.where(valid, 1.0, 0.0) * df * elen
+             * (edges.shape[0] / n_samples) / a_pix)
+    cot = jnp.where(valid[:, None], coeff[:, None] * nhat, 0.0)
     (dverts,) = vjp(jax.lax.stop_gradient(cot))
     return dverts

@@ -118,7 +118,8 @@ def fit_materials(scene: scene_ir.SceneIR, camera, target, width, height,
                   max_depth: int = 6, key=None, fit_vertices: bool = False,
                   verbose: bool = True, correlated: bool = True,
                   boundary: bool = False,
-                  boundary_samples: int = 4096) -> FitResult:
+                  boundary_samples: int = 4096,
+                  shadow_light=None) -> FitResult:
     """Adam fit of material parameters (and optionally mesh vertices) to a
     target image. target: (W*H, 3) linear radiance.
 
@@ -132,7 +133,13 @@ def fit_materials(scene: scene_ir.SceneIR, camera, target, width, height,
     term (diff/edges.py) to each mesh's vertex gradient — without it,
     vertex positions only feel the smooth shading-chain gradient, which
     is ZERO for problems dominated by occlusion/silhouette (e.g. moving
-    an emissive shape into place)."""
+    an emissive shape into place).
+
+    `shadow_light` (a (3,) emitter position, with boundary+fit_vertices)
+    additionally adds the SHADOW-silhouette term: the gradient of the
+    shadows the mesh casts on other surfaces (diff/edges.py
+    shadow_boundary_grad) — needed when a blocker's shadow, not its own
+    pixels, drives the loss."""
     key = key if key is not None else jax.random.PRNGKey(0)
     params, rebuild = select_params(scene, fit_vertices)
     # vertex fits move geometry every step: the mesh FIND must track the
@@ -174,10 +181,21 @@ def fit_materials(scene: scene_ir.SceneIR, camera, target, width, height,
             return path_mod.trace(cur, rays, k, max_depth,
                                   mesh_backend="xla")
 
-        return [edge_mod.boundary_grad(
+        out = [edge_mod.boundary_grad(
             v, e, f, idx, camera, w2d, width, height, radiance_fn, k,
             n_samples=boundary_samples)
             for v, (e, f, idx) in zip(params["verts"], edge_tables)]
+        if shadow_light is not None:
+            def hit_fn(rays):
+                return scene_ir.intersect_scene(cur, rays, k, 0,
+                                                mesh_backend="xla")
+            out = [g + edge_mod.shadow_boundary_grad(
+                v, e, f, idx, jnp.asarray(shadow_light, jnp.float32),
+                camera, w2d, width, height, radiance_fn, hit_fn, k,
+                n_samples=boundary_samples)
+                for g, v, (e, f, idx) in zip(out, params["verts"],
+                                             edge_tables)]
+        return out
 
     @jax.jit
     def step(params, opt_state, k):

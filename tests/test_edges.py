@@ -169,3 +169,119 @@ def test_silhouette_mask_single_triangle(job):
     # all 3 edges of a lone triangle are boundary edges -> silhouettes
     assert np.asarray(sil).all()
     assert edges.shape == (3, 2)
+
+
+SHADOW_SCENE_YAML = """
+film: {width: 32, height: 32, samples: 8, output: sh.png}
+camera:
+  position: [0, 4, 0.001]
+  look_at: [0, 0, 0]
+  up: [0, 0, 1]
+  fov: 40
+  aperture: 0.0
+  focal_distance: 4
+  background: [0.0, 0.0, 0.0]
+materials:
+  - {name: ground, type: lambertian, albedo: [0.8, 0.8, 0.8]}
+  - {name: lamp, type: diffuse_light, albedo: [1.0, 1.0, 1.0], strength: 25}
+objects:
+  - type: xz_rect          # receiver floor
+    x: [-3, 3]
+    z: [-3, 3]
+    k: 0
+    material: ground
+  - type: xz_rect          # emitter outside the frame: big enough that
+    x: [1.7, 2.3]          # the no-NEE integrator hits it stochastically,
+    z: [-0.3, 0.3]         # small enough for a usable shadow edge
+    k: 3
+    material: lamp
+  - type: triangle         # blocker: OUTSIDE the camera frustum, its
+    v0: [1.05, 1.5, -0.5]  # shadow falls across the visible floor
+    v1: [1.6, 1.5, 0.0]
+    v2: [1.05, 1.5, 0.5]
+    material: ground
+"""
+
+
+@pytest.fixture(scope="module")
+def shadow_job():
+    with tempfile.NamedTemporaryFile("w", suffix=".yaml",
+                                     delete=False) as f:
+        f.write(SHADOW_SCENE_YAML)
+        p = f.name
+    j = build_scene(load_scene_desc(p))
+    os.unlink(p)
+    return j
+
+
+def test_shadow_boundary_grad_matches_fd(shadow_job):
+    """Shadow-silhouette vertex gradients: the blocker is entirely outside
+    the camera frustum (its primary silhouette term is zero) and its
+    SHADOW on the floor drives the loss — only shadow_boundary_grad can
+    produce this derivative; check it against finite differences."""
+    from hobbyraytracer_tpu.scene import ir as scene_ir
+
+    scene, camera = shadow_job.scene, shadow_job.camera
+    mesh = _mesh(scene)
+    verts = mesh.verts
+    indices = np.asarray(mesh.indices)
+    edges, efaces = edge_mod.build_edge_table(indices)
+    light_pos = jnp.asarray([2.0, 3.0, 0.0], jnp.float32)
+
+    rng = np.random.default_rng(1)
+    weight = jnp.asarray(rng.uniform(0.2, 1.0, (H, W, 3)), jnp.float32)
+
+    def hit_fn(rays):
+        return scene_ir.intersect_scene(scene, rays,
+                                        jax.random.PRNGKey(0), 0)
+
+    # the emitter has AREA (the no-NEE integrator cannot render point-
+    # light shadows), so eps_px spans the ~6px penumbra, and the one-
+    # path-per-probe radiance estimates are noisy: average over keys
+    acc = None
+    n_keys = 6
+    for kk in range(n_keys):
+        k = jax.random.PRNGKey(kk)
+
+        def radiance_fn(rays, k=k):
+            return path_mod.trace(scene, rays, k, max_depth=2)
+
+        g = edge_mod.shadow_boundary_grad(
+            verts, jnp.asarray(edges), jnp.asarray(efaces), mesh.indices,
+            light_pos, camera, weight, W, H, radiance_fn, hit_fn, k,
+            n_samples=8192, eps_px=4.0)
+        acc = g if acc is None else acc + g
+    dverts = np.asarray(acc) / n_keys
+    assert np.isfinite(dverts).all()
+
+    key = jax.random.PRNGKey(0)
+    checks = [(1, 0), (2, 2)]  # x of the shadow tip, z of a base vertex
+    delta = 0.03
+    saw_signal = False
+    for vi, ci in checks:
+        e = np.zeros_like(np.asarray(verts))
+        e[vi, ci] = delta
+        lp = _loss(_set_verts(scene, verts + jnp.asarray(e)), camera,
+                   weight, key)
+        lm = _loss(_set_verts(scene, verts - jnp.asarray(e)), camera,
+                   weight, key)
+        fd = (lp - lm) / (2 * delta)
+        an = dverts[vi, ci]
+        assert np.isfinite(fd)
+        saw_signal |= abs(fd) > 5.0
+        # MC boundary estimator + stochastic FD across a penumbra:
+        # 40% relative with an absolute floor
+        assert abs(an - fd) <= 0.40 * abs(fd) + 1.0, (vi, ci, an, fd)
+    # the shadow genuinely drives the loss (guards against the vacuous
+    # zero==zero comparison this test would otherwise degenerate to)
+    assert saw_signal
+
+
+# NOTE: an end-to-end "recover the blocker from its shadow" fit is NOT
+# tested: without next-event estimation the forward integrator renders
+# shadows from sparse stochastic light hits, so the correlated loss
+# surface is a staircase with near-empty gradient support at test sizes
+# (measured: 4 spp correlated -> ONE differing pixel). The estimator
+# itself is FD-validated above; robust shadow-driven optimization needs
+# NEE or correlated-pair boundary estimators (future work, documented in
+# diff/edges.py).
