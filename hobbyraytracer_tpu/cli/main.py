@@ -120,9 +120,18 @@ def cmd_render(args) -> int:
             # bound device memory: target <= ~2M rays in flight
             chunk = max(1, min(samples,
                                (2_000_000 // max(1, width * height))))
+        last = [0.0]
+
+        def batch_progress(done, total):
+            now = time.time()
+            if done >= total or now - last[0] >= 0.5:
+                last[0] = now
+                _progress(min(done // samples, total_px), total_px)
+
         img = path_mod.render_image(job.scene, job.camera, width, height,
                                     samples, key, max_depth=args.max_depth,
-                                    sample_chunk=chunk)
+                                    sample_chunk=chunk,
+                                    progress_cb=batch_progress)
         img = np.asarray(img)
     t_render = time.time() - t_render0
     if getattr(args, "profile", None):

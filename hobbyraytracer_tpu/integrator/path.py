@@ -182,16 +182,23 @@ _sample_radiance_jit = jax.jit(sample_radiance,
 def render_image(scene: scene_ir.SceneIR, camera: Camera, width: int,
                  height: int, samples: int, key: jax.Array,
                  max_depth: int = MAX_DEPTH,
-                 sample_chunk: int = 0) -> jnp.ndarray:
+                 sample_chunk: int = 0, progress_cb=None) -> jnp.ndarray:
     """Full render -> tonemapped (H, W, 3) float image in [0,1].
 
     sample_chunk > 0 bounds device memory by accumulating the sample loop
     in chunks under one jitted function per chunk (the framebuffer
     accumulator stays on device, main.cpp's film writeColour equivalent).
+    progress_cb(done_samples, total_samples) fires per chunk — the batch
+    integrator's version of the reference's 500 ms reporter
+    (main.cpp:95-109); a single-chunk render reports only completion.
     """
+    wh = width * height
     if sample_chunk <= 0 or sample_chunk >= samples:
         total = _sample_radiance_jit(scene, camera, width, height, key,
                                      samples, max_depth)
+        if progress_cb is not None:
+            jax.block_until_ready(total)
+            progress_cb(wh * samples, wh * samples)
     else:
         fn = _sample_radiance_jit
         total = jnp.zeros((width * height, 3), jnp.float32)
@@ -204,6 +211,9 @@ def render_image(scene: scene_ir.SceneIR, camera: Camera, width: int,
                                c, max_depth)
             done += c
             chunk_i += 1
+            if progress_cb is not None:
+                jax.block_until_ready(total)
+                progress_cb(wh * done, wh * samples)
     mean = total / jnp.float32(samples)
     img = film_ops.tonemap(mean)
     return img.reshape(height, width, 3)

@@ -97,3 +97,16 @@ def test_env_background_gradient():
     assert not np.isnan(img).any()
     # sky band visible above the teapot
     assert img[0:5].mean() > 0.3
+
+
+def test_batch_render_progress_fires():
+    """Batch integrator per-chunk progress (the wavefront path already had
+    it; this closed the `--integrator batch` gap)."""
+    job = build_scene(load_scene_desc(os.path.join(SCENES,
+                                                   "cornell_box.yaml")))
+    seen = []
+    path.render_image(job.scene, job.camera, 8, 8, 4,
+                      jax.random.PRNGKey(0), max_depth=3, sample_chunk=2,
+                      progress_cb=lambda d, t: seen.append((d, t)))
+    assert seen[-1] == (8 * 8 * 4, 8 * 8 * 4)
+    assert all(a[0] < b[0] for a, b in zip(seen, seen[1:]))
