@@ -57,7 +57,13 @@ from ..ops.camera import Camera, get_rays
 from ..scene import ir as scene_ir
 from .path import MAX_DEPTH, background_colour
 
-DEFAULT_POOL = 1 << 18   # 262,144 lanes (~14 MB of pool state)
+# Pool-size sweep on the chip (round 3, teapot bench): 64k -> 4.30M,
+# 96k -> 4.37M, 128k -> 4.31M, 256k -> 3.63M, 512k -> 0.70M rays/s. The
+# per-segment irregular ops (coherence sort gather/scatter, retirement)
+# scale with P while their latency hides less well, and 512k falls off a
+# cliff (the (P,8) unsort scatter leaves its fast path). 128k sits on the
+# plateau with the widest margin to both edges.
+DEFAULT_POOL = 1 << 17   # 131,072 lanes
 SAMPLE_CHUNK = 4         # samples of one pixel per work item
 RR_START = 4             # bounces before Russian roulette begins
 RR_MIN_P = 0.05          # survival-probability floor
