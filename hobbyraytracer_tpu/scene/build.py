@@ -21,7 +21,7 @@ from ..io import images as img_io
 from ..ops import shade as shade_ops
 from ..ops import texture as tex_ops
 from ..ops.camera import Camera, make_camera
-from . import ir, objloader
+from . import ir, meshload
 from .schema import MatValue, SceneDesc, TransformDesc
 
 
@@ -267,7 +267,7 @@ def build_scene(desc: SceneDesc) -> RenderJob:
         elif o.type == "mesh":
             path = desc.resolve_path(o.params["path"])
             try:
-                m = objloader.parse_obj(path)
+                m = meshload.load_mesh(path)
             except (OSError, ValueError) as e:
                 # assimp failure logs and the object is skipped
                 # (mesh.cpp:58-61 log-and-continue asset policy)
@@ -295,7 +295,7 @@ def build_scene(desc: SceneDesc) -> RenderJob:
             elif b["type"] == "mesh":
                 path = desc.resolve_path(b["path"])
                 try:
-                    bm = objloader.parse_obj(path)
+                    bm = meshload.load_mesh(path)
                 except (OSError, ValueError) as e:
                     print(f"ERROR: Couldn't load file: {b['path']} ({e})")
                     continue

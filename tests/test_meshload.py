@@ -1,0 +1,213 @@
+"""Multi-format mesh import (scene/meshload.py): PLY / STL / glTF-GLB
+round-trips agree with the OBJ loader's output for the same geometry, and
+a scene referencing each format renders (the reference accepts all of
+these through assimp, mesh.cpp:56)."""
+import base64
+import json
+import os
+import struct
+import tempfile
+
+import numpy as np
+import pytest
+
+from hobbyraytracer_tpu.scene import meshload, objloader
+
+
+@pytest.fixture(scope="module")
+def quad():
+    """A unit quad with distinct normals/uvs per vertex."""
+    verts = np.asarray([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]],
+                       np.float32)
+    normals = np.tile(np.asarray([[0, 0, 1]], np.float32), (4, 1))
+    uvs = np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    indices = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+    return verts, normals, uvs, indices
+
+
+def _tri_set(m):
+    """Order-independent set of triangles as rounded vertex triples."""
+    tv = np.asarray(m["verts"])[np.asarray(m["indices"])]
+    return {tuple(np.round(t, 4).ravel()) for t in tv}
+
+
+def test_ply_ascii_matches_obj(quad, tmp_path):
+    verts, normals, uvs, indices = quad
+    p = tmp_path / "q.ply"
+    with open(p, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(verts)}\n")
+        for prop in ("x", "y", "z", "nx", "ny", "nz", "u", "v"):
+            f.write(f"property float {prop}\n")
+        f.write(f"element face {len(indices)}\n")
+        f.write("property list uchar int vertex_indices\n")
+        f.write("end_header\n")
+        for v, n, t in zip(verts, normals, uvs):
+            f.write(" ".join(map(str, [*v, *n, *t])) + "\n")
+        for tri in indices:
+            f.write("3 " + " ".join(map(str, tri)) + "\n")
+    m = meshload.load_mesh(str(p))
+    np.testing.assert_allclose(m["verts"], verts)
+    np.testing.assert_allclose(m["normals"], normals)
+    np.testing.assert_allclose(m["uvs"][:, 1], 1.0 - uvs[:, 1])  # FlipUVs
+    np.testing.assert_array_equal(m["indices"], indices)
+
+
+def test_ply_binary_matches_ascii(quad, tmp_path):
+    verts, normals, uvs, indices = quad
+    p = tmp_path / "qb.ply"
+    with open(p, "wb") as f:
+        hdr = ("ply\nformat binary_little_endian 1.0\n"
+               f"element vertex {len(verts)}\n"
+               + "".join(f"property float {c}\n" for c in
+                         ("x", "y", "z", "nx", "ny", "nz"))
+               + f"element face {len(indices)}\n"
+               "property list uchar int vertex_indices\nend_header\n")
+        f.write(hdr.encode())
+        for v, n in zip(verts, normals):
+            f.write(struct.pack("<6f", *v, *n))
+        for tri in indices:
+            f.write(struct.pack("<B3i", 3, *tri))
+    m = meshload.load_mesh(str(p))
+    np.testing.assert_allclose(m["verts"], verts)
+    np.testing.assert_allclose(m["normals"], normals)
+    np.testing.assert_array_equal(m["indices"], indices)
+
+
+def test_stl_binary_and_ascii(quad, tmp_path):
+    verts, normals, uvs, indices = quad
+    tv = verts[indices]                        # (2,3,3)
+    pb = tmp_path / "q.stl"
+    with open(pb, "wb") as f:
+        f.write(b"\0" * 80)
+        f.write(struct.pack("<I", len(tv)))
+        for tri in tv:
+            f.write(struct.pack("<3f", 0, 0, 1))
+            for v in tri:
+                f.write(struct.pack("<3f", *v))
+            f.write(struct.pack("<H", 0))
+    mb = meshload.load_mesh(str(pb))
+    assert mb["verts"].shape == (6, 3)         # faceted: no sharing
+    pa = tmp_path / "qa.stl"
+    with open(pa, "w") as f:
+        f.write("solid q\n")
+        for tri in tv:
+            f.write(" facet normal 0 0 1\n  outer loop\n")
+            for v in tri:
+                f.write(f"   vertex {v[0]} {v[1]} {v[2]}\n")
+            f.write("  endloop\n endfacet\n")
+        f.write("endsolid q\n")
+    ma = meshload.load_mesh(str(pa))
+    assert _tri_set(ma) == _tri_set(mb)
+    np.testing.assert_allclose(mb["normals"],
+                               np.tile([[0, 0, 1]], (6, 1)))
+
+
+def _gltf_doc(verts, normals, uvs, indices):
+    bin_data = (verts.astype("<f4").tobytes()
+                + normals.astype("<f4").tobytes()
+                + uvs.astype("<f4").tobytes()
+                + indices.astype("<u2").tobytes())
+    nv = len(verts)
+    doc = {
+        "asset": {"version": "2.0"},
+        "buffers": [{"byteLength": len(bin_data)}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": nv * 12},
+            {"buffer": 0, "byteOffset": nv * 12, "byteLength": nv * 12},
+            {"buffer": 0, "byteOffset": nv * 24, "byteLength": nv * 8},
+            {"buffer": 0, "byteOffset": nv * 32,
+             "byteLength": indices.size * 2},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": nv,
+             "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": nv,
+             "type": "VEC3"},
+            {"bufferView": 2, "componentType": 5126, "count": nv,
+             "type": "VEC2"},
+            {"bufferView": 3, "componentType": 5123,
+             "count": indices.size, "type": "SCALAR"},
+        ],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2},
+            "indices": 3}]}],
+    }
+    return doc, bin_data
+
+
+def test_glb_and_gltf_data_uri(quad, tmp_path):
+    verts, normals, uvs, indices = quad
+    doc, bin_data = _gltf_doc(verts, normals, uvs, indices)
+    # GLB container
+    pj = json.dumps(doc).encode()
+    pj += b" " * (-len(pj) % 4)
+    bd = bin_data + b"\0" * (-len(bin_data) % 4)
+    glb = (struct.pack("<III", 0x46546C67, 2, 12 + 8 + len(pj) + 8 + len(bd))
+           + struct.pack("<II", len(pj), 0x4E4F534A) + pj
+           + struct.pack("<II", len(bd), 0x004E4942) + bd)
+    p = tmp_path / "q.glb"
+    p.write_bytes(glb)
+    m = meshload.load_mesh(str(p))
+    np.testing.assert_allclose(m["verts"], verts)
+    np.testing.assert_allclose(m["normals"], normals)
+    np.testing.assert_allclose(m["uvs"][:, 1], 1.0 - uvs[:, 1])
+    np.testing.assert_array_equal(m["indices"], indices)
+    # .gltf with base64 data URI
+    doc2 = dict(doc)
+    doc2["buffers"] = [{
+        "byteLength": len(bin_data),
+        "uri": "data:application/octet-stream;base64,"
+               + base64.b64encode(bin_data).decode()}]
+    p2 = tmp_path / "q.gltf"
+    p2.write_text(json.dumps(doc2))
+    m2 = meshload.load_mesh(str(p2))
+    np.testing.assert_allclose(m2["verts"], verts)
+    np.testing.assert_array_equal(m2["indices"], indices)
+
+
+def test_scene_renders_ply_mesh(tmp_path):
+    """End-to-end: a YAML scene whose mesh is a PLY renders identically to
+    the same geometry loaded from OBJ."""
+    import jax
+    from hobbyraytracer_tpu.integrator import path as path_mod
+    from hobbyraytracer_tpu.scene import build_scene, load_scene_desc
+
+    tri_v = np.asarray([[-0.8, -0.6, 0], [0.9, -0.5, 0], [0.0, 0.9, 0]],
+                       np.float32)
+    idx = np.asarray([[0, 1, 2]], np.int32)
+    ply = tmp_path / "tri.ply"
+    with open(ply, "w") as f:
+        f.write("ply\nformat ascii 1.0\nelement vertex 3\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "element face 1\n"
+                "property list uchar int vertex_indices\nend_header\n")
+        for v in tri_v:
+            f.write(" ".join(map(str, v)) + "\n")
+        f.write("3 0 1 2\n")
+    obj = tmp_path / "tri.obj"
+    objloader.write_obj(str(obj), tri_v, idx)
+    yaml = """
+film: {{width: 24, height: 24, samples: 4, output: o.png}}
+camera:
+  position: [0, 0, -3]
+  look_at: [0, 0, 0]
+  up: [0, 1, 0]
+  fov: 45
+  aperture: 0.0
+  focal_distance: 3
+  background: [0.1, 0.2, 0.3]
+materials:
+  - {{name: glow, type: diffuse_light, albedo: [1, 1, 1], strength: 2}}
+objects:
+  - {{type: mesh, path: {path}, material: glow}}
+"""
+    imgs = []
+    for mesh_path in (ply, obj):
+        sf = tmp_path / f"s_{mesh_path.suffix[1:]}.yaml"
+        sf.write_text(yaml.format(path=mesh_path))
+        job = build_scene(load_scene_desc(str(sf)))
+        img = path_mod.render_image(job.scene, job.camera, 24, 24, 4,
+                                    jax.random.PRNGKey(0), max_depth=2)
+        imgs.append(np.asarray(img))
+    np.testing.assert_array_equal(imgs[0], imgs[1])
