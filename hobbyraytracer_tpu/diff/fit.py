@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..core.types import Rays
 from ..integrator import path as path_mod
 from ..scene import ir as scene_ir
 
@@ -144,8 +143,8 @@ def fit_materials(scene: scene_ir.SceneIR, camera, target, width, height,
     params, rebuild = select_params(scene, fit_vertices)
     # vertex fits move geometry every step: the mesh FIND must track the
     # live vertices (XLA traversal). Material-only fits keep geometry
-    # static, so the Pallas find over build-time tables is exact and ~5x
-    # faster (pallas_replay via "auto_diff").
+    # static, so the Pallas find over build-time tables is exact and
+    # ~1.8x faster per fit step (pallas_replay via "auto_diff"; PERF.md).
     mesh_backend = "xla" if fit_vertices else "auto_diff"
     opt = optax.adam(lr)
     opt_state = opt.init(params)

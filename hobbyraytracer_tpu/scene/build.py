@@ -8,7 +8,6 @@ render loop touches only arrays.
 """
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 from typing import Any, Dict, List
 
