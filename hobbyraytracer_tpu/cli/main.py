@@ -84,8 +84,11 @@ def cmd_render(args) -> int:
             from ..io import checkpoint as ckpt
             if args.resume and os.path.exists(args.checkpoint):
                 state = ckpt.load_state(args.checkpoint)
+                # multi-device checkpoints stack per-worker states, so
+                # retired is an (n_devices,) array — sum, don't int()
+                done = int(np.sum(np.asarray(state.retired)))
                 print(f"Resumed checkpoint: {args.checkpoint} "
-                      f"({int(state.retired)} work items done)")
+                      f"({done} samples done)")
             last_ck = [time.time()]
 
             def ckpt_cb(s):

@@ -108,6 +108,57 @@ def silhouette_mask(verts, indices, edges, efaces, cam_origin) -> jnp.ndarray:
     return is_boundary | flip
 
 
+def _edge_estimator(vjp, x_img, pa_img, pb_img, valid, weight, width,
+                    height, radiance_fn, n_edges, n_samples, eps_px,
+                    cam):
+    """The shared boundary-integral estimator: given the image-space edge
+    sample positions (and the VJP back to the vertices), weight each
+    sample by the two-sided radiance difference and the per-pixel loss
+    weight, and pull the image-space normal velocity back to verts.
+
+    Both boundary terms (primary silhouettes via direct projection,
+    shadow silhouettes via projection through the emitter onto the
+    receiver) reduce to exactly this once x_img/vjp are built."""
+    # image-space edge direction -> normal (orientation cancels in the
+    # product w * (f_+ - f_-) * (n̂·v), so either perpendicular works)
+    ev = pb_img - pa_img                                  # (K,2)
+    elen = jnp.linalg.norm(ev, axis=-1)                   # image-space length
+    ehat = ev / jnp.maximum(elen, 1e-12)[:, None]
+    nhat = jnp.stack([-ehat[:, 1], ehat[:, 0]], axis=-1)  # (K,2)
+
+    # radiance on both sides (forward render, two offset rays per sample)
+    eps = jnp.asarray([eps_px / (width - 1), eps_px / (height - 1)],
+                      jnp.float32)
+    x_p = x_img + eps * nhat
+    x_m = x_img - eps * nhat
+    f_p = radiance_fn(get_rays(cam, x_p[:, 0], x_p[:, 1]))  # (K,3)
+    f_m = radiance_fn(get_rays(cam, x_m[:, 0], x_m[:, 1]))
+
+    # loss weight at the sample's pixel (zero outside the image).
+    # Pixel (row r, col c) owns s in [c, c+1)/(W-1) and t in [y, y+1)/(H-1)
+    # with y = H - r (the reference's y-flip, main.cpp:116-121)
+    col = jnp.floor(x_img[:, 0] * (width - 1)).astype(jnp.int32)
+    y = jnp.floor(x_img[:, 1] * (height - 1)).astype(jnp.int32)
+    row = height - y
+    inside = ((col >= 0) & (col < width) & (row >= 0) & (row < height))
+    w_pix = jnp.where(
+        inside[:, None],
+        weight[jnp.clip(row, 0, height - 1), jnp.clip(col, 0, width - 1)],
+        0.0)                                              # (K,3)
+
+    # scalar coefficient per sample; A_pix = footprint in (s,t) units.
+    # (f_- - f_+) with +/- along n̂ equals (f_in - f_out) along the OUTWARD
+    # normal regardless of n̂'s orientation (both factors flip together)
+    a_pix = (1.0 / (width - 1)) * (1.0 / (height - 1))
+    df = jnp.sum(w_pix * (f_m - f_p), axis=-1)            # (K,)
+    valid = valid & jnp.isfinite(elen)
+    coeff = (jnp.where(valid, 1.0, 0.0) * df * elen
+             * (n_edges / n_samples) / a_pix)             # (K,)
+    cot = jnp.where(valid[:, None], coeff[:, None] * nhat, 0.0)
+    (dverts,) = vjp(jax.lax.stop_gradient(cot))
+    return dverts
+
+
 def boundary_grad(verts: jnp.ndarray, edges, efaces, indices, cam: Camera,
                   weight: jnp.ndarray, width: int, height: int,
                   radiance_fn: Callable[[Rays], jnp.ndarray],
@@ -135,47 +186,10 @@ def boundary_grad(verts: jnp.ndarray, edges, efaces, indices, cam: Camera,
         return project(cam, p)
 
     x_img, vjp = jax.vjp(img_pos, verts)                  # (K,2)
-    # image-space edge direction -> normal (orientation cancels in the
-    # product w * (f_+ - f_-) * (n̂·v), so either perpendicular works)
-    pa_img = project(cam, verts[va_idx])
-    pb_img = project(cam, verts[vb_idx])
-    ev = pb_img - pa_img                                  # (K,2)
-    elen = jnp.linalg.norm(ev, axis=-1)                   # image-space length
-    ehat = ev / jnp.maximum(elen, 1e-12)[:, None]
-    nhat = jnp.stack([-ehat[:, 1], ehat[:, 0]], axis=-1)  # (K,2)
-
-    # radiance on both sides (forward render, two offset rays per sample)
-    eps = jnp.asarray([eps_px / (width - 1), eps_px / (height - 1)],
-                      jnp.float32)
-    x_p = x_img + eps * nhat
-    x_m = x_img - eps * nhat
-    r_p = get_rays(cam, x_p[:, 0], x_p[:, 1])
-    r_m = get_rays(cam, x_m[:, 0], x_m[:, 1])
-    f_p = radiance_fn(r_p)                                # (K,3)
-    f_m = radiance_fn(r_m)
-
-    # loss weight at the sample's pixel (zero outside the image).
-    # Pixel (row r, col c) owns s in [c, c+1)/(W-1) and t in [y, y+1)/(H-1)
-    # with y = H - r (the reference's y-flip, main.cpp:116-121)
-    col = jnp.floor(x_img[:, 0] * (width - 1)).astype(jnp.int32)
-    y = jnp.floor(x_img[:, 1] * (height - 1)).astype(jnp.int32)
-    row = height - y
-    inside = ((col >= 0) & (col < width) & (row >= 0) & (row < height))
-    w_pix = jnp.where(
-        inside[:, None],
-        weight[jnp.clip(row, 0, height - 1), jnp.clip(col, 0, width - 1)],
-        0.0)                                              # (K,3)
-
-    # scalar coefficient per sample; A_pix = footprint in (s,t) units.
-    # (f_- - f_+) with +/- along n̂ equals (f_in - f_out) along the OUTWARD
-    # normal regardless of n̂'s orientation (both factors flip together)
-    a_pix = (1.0 / (width - 1)) * (1.0 / (height - 1))
-    df = jnp.sum(w_pix * (f_m - f_p), axis=-1)            # (K,)
-    coeff = (jnp.where(sil, 1.0, 0.0) * df * elen
-             * (edges.shape[0] / n_samples) / a_pix)      # (K,)
-    cot = coeff[:, None] * nhat                           # (K,2)
-    (dverts,) = vjp(jax.lax.stop_gradient(cot))
-    return dverts
+    return _edge_estimator(vjp, x_img, project(cam, verts[va_idx]),
+                           project(cam, verts[vb_idx]), sil, weight,
+                           width, height, radiance_fn, edges.shape[0],
+                           n_samples, eps_px, cam)
 
 
 def shadow_boundary_grad(verts: jnp.ndarray, edges, efaces, indices,
@@ -235,34 +249,7 @@ def shadow_boundary_grad(verts: jnp.ndarray, edges, efaces, indices,
 
     x_img, vjp = jax.vjp(img_pos, verts)                  # (K,2)
     # image-space direction of the PROJECTED edge (same tangent planes)
-    pa_img = shadow_img(verts[va_idx])
-    pb_img = shadow_img(verts[vb_idx])
-    ev = pb_img - pa_img
-    elen = jnp.linalg.norm(ev, axis=-1)
-    ehat = ev / jnp.maximum(elen, 1e-12)[:, None]
-    nhat = jnp.stack([-ehat[:, 1], ehat[:, 0]], axis=-1)
-
-    eps = jnp.asarray([eps_px / (width - 1), eps_px / (height - 1)],
-                      jnp.float32)
-    x_p = x_img + eps * nhat
-    x_m = x_img - eps * nhat
-    f_p = radiance_fn(get_rays(cam, x_p[:, 0], x_p[:, 1]))
-    f_m = radiance_fn(get_rays(cam, x_m[:, 0], x_m[:, 1]))
-
-    col = jnp.floor(x_img[:, 0] * (width - 1)).astype(jnp.int32)
-    y_pix = jnp.floor(x_img[:, 1] * (height - 1)).astype(jnp.int32)
-    row = height - y_pix
-    inside = ((col >= 0) & (col < width) & (row >= 0) & (row < height))
-    w_pix = jnp.where(
-        inside[:, None],
-        weight[jnp.clip(row, 0, height - 1), jnp.clip(col, 0, width - 1)],
-        0.0)
-
-    a_pix = (1.0 / (width - 1)) * (1.0 / (height - 1))
-    df = jnp.sum(w_pix * (f_m - f_p), axis=-1)
-    valid = sil & ok_recv & jnp.isfinite(elen)
-    coeff = (jnp.where(valid, 1.0, 0.0) * df * elen
-             * (edges.shape[0] / n_samples) / a_pix)
-    cot = jnp.where(valid[:, None], coeff[:, None] * nhat, 0.0)
-    (dverts,) = vjp(jax.lax.stop_gradient(cot))
-    return dverts
+    return _edge_estimator(vjp, x_img, shadow_img(verts[va_idx]),
+                           shadow_img(verts[vb_idx]), sil & ok_recv,
+                           weight, width, height, radiance_fn,
+                           edges.shape[0], n_samples, eps_px, cam)

@@ -69,15 +69,22 @@ BLOCK = int(os.environ.get("HRT_BLOCK", "1024"))
 # blows the 16 MB scoped-vmem limit (measured), 2048 fits comfortably.
 KEY_BLOCK = int(os.environ.get("HRT_KEY_BLOCK", "2048"))
 SOA_ROWS = 24        # v0,e1,e2 (9) + n0,n1,n2 (9) + uv0,uv1,uv2 (6)
-# VMEM budget for the resident mesh (tri SoA + ids); larger meshes fall
-# back to the XLA traversal.
-VMEM_MESH_BYTES = 10 * 1024 * 1024
+# Total scoped-VMEM budget the kernel may plan against (the hardware
+# limit is 16 MB; leave slack for Mosaic's own staging buffers).
+VMEM_BUDGET_BYTES = 14 * 1024 * 1024
 _INF = float("inf")
 
 
 def mesh_fits_vmem(k_clusters: int, leaf: int) -> bool:
-    # SoA padded to 32 sublanes (24 -> 32) + int ids
-    return k_clusters * (32 * leaf * 4 + leaf * 4) <= VMEM_MESH_BYTES
+    """Whether the fused kernel can hold BOTH the resident mesh tables AND
+    its per-block working set at the current BLOCK size. The working set
+    scales with BLOCK: the (B, K) slab-entry matrix plus ~12 (B, L) f32
+    Moller-Trumbore/interpolation temporaries — raising BLOCK 256->1024
+    (round 3) shrank the admissible mesh accordingly; oversized meshes
+    fall back to the XLA traversal (ir._resolve_mesh_backend warns)."""
+    tables = k_clusters * (32 * leaf * 4 + leaf * 4)  # SoA padded 24->32
+    block_ws = BLOCK * k_clusters * 4 + 12 * BLOCK * leaf * 4
+    return tables + block_ws <= VMEM_BUDGET_BYTES
 
 
 def pack_mesh_soa(tri_verts, tri_normals, tri_uvs):

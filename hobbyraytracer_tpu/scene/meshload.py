@@ -36,17 +36,28 @@ from . import objloader
 
 def load_mesh(path: str) -> dict:
     """Parse a mesh file by extension -> dict(verts (V,3) f32,
-    normals (V,3) f32, uvs (V,2) f32, indices (T,3) i32)."""
+    normals (V,3) f32, uvs (V,2) f32, indices (T,3) i32).
+
+    Any malformed-file failure is normalized to ValueError so callers'
+    log-and-skip policy (scene/build.py, matching assimp's mesh.cpp:58-61
+    behavior) applies uniformly — truncated GLBs raise struct.error,
+    missing glTF fields KeyError, bad JSON JSONDecodeError, etc."""
     ext = os.path.splitext(path)[1].lower()
-    if ext == ".ply":
-        return parse_ply(path)
-    if ext == ".stl":
-        return parse_stl(path)
-    if ext in (".gltf", ".glb"):
-        return parse_gltf(path)
-    # default: OBJ (also covers extensionless paths, like the reference's
-    # assimp which sniffs content)
-    return objloader.parse_obj(path)
+    try:
+        if ext == ".ply":
+            return parse_ply(path)
+        if ext == ".stl":
+            return parse_stl(path)
+        if ext in (".gltf", ".glb"):
+            return parse_gltf(path)
+        # default: OBJ (also covers extensionless paths, like the
+        # reference's assimp which sniffs content)
+        return objloader.parse_obj(path)
+    except (OSError, ValueError):
+        raise
+    except Exception as e:  # struct.error, KeyError, JSONDecodeError, ...
+        raise ValueError(f"malformed mesh file {path}: "
+                         f"{type(e).__name__}: {e}") from e
 
 
 def _finish(verts, normals, uvs, tris, path):
@@ -124,10 +135,12 @@ def parse_ply(path: str) -> dict:
                 data[name] = rows
             else:
                 if all(not isinstance(pt, tuple) for _, pt in props):
+                    # vectorized fast path: keep the structured array
+                    # (building per-row dicts for a 1M-vertex PLY would
+                    # allocate millions of Python objects)
                     dt = np.dtype([(pname, "<" + pt) for pname, pt in props])
-                    arr = np.frombuffer(f.read(dt.itemsize * count), dt)
-                    data[name] = [{p: float(r[p]) for p, _ in props}
-                                  for r in arr]
+                    data[name] = np.frombuffer(
+                        f.read(dt.itemsize * count), dt)
                 else:
                     rows = []
                     for _ in range(count):
@@ -149,13 +162,32 @@ def parse_ply(path: str) -> dict:
                     data[name] = rows
 
     vrows = data.get("vertex", [])
-    verts = [(r["x"], r["y"], r["z"]) for r in vrows]
-    has_n = vrows and all(k in vrows[0] for k in ("nx", "ny", "nz"))
-    normals = [(r["nx"], r["ny"], r["nz"]) for r in vrows] if has_n else []
-    ukey = ("u", "v") if vrows and "u" in vrows[0] else ("s", "t")
-    has_uv = vrows and ukey[0] in vrows[0] and ukey[1] in vrows[0]
-    uvs = ([(r[ukey[0]], 1.0 - r[ukey[1]]) for r in vrows]  # FlipUVs
-           if has_uv else [])
+    if isinstance(vrows, np.ndarray):  # binary fast path: column slices
+        names = vrows.dtype.names
+
+        def colv(*ks):
+            return np.stack([vrows[k].astype(np.float32) for k in ks],
+                            axis=1)
+
+        verts = colv("x", "y", "z")
+        has_n = all(k in names for k in ("nx", "ny", "nz"))
+        normals = colv("nx", "ny", "nz") if has_n else []
+        ukey = ("u", "v") if "u" in names else ("s", "t")
+        has_uv = ukey[0] in names and ukey[1] in names
+        if has_uv:
+            uvs = colv(*ukey)
+            uvs[:, 1] = 1.0 - uvs[:, 1]  # FlipUVs
+        else:
+            uvs = []
+    else:
+        verts = [(r["x"], r["y"], r["z"]) for r in vrows]
+        has_n = vrows and all(k in vrows[0] for k in ("nx", "ny", "nz"))
+        normals = ([(r["nx"], r["ny"], r["nz"]) for r in vrows]
+                   if has_n else [])
+        ukey = ("u", "v") if vrows and "u" in vrows[0] else ("s", "t")
+        has_uv = vrows and ukey[0] in vrows[0] and ukey[1] in vrows[0]
+        uvs = ([(r[ukey[0]], 1.0 - r[ukey[1]]) for r in vrows]  # FlipUVs
+               if has_uv else [])
     tris = []
     for r in data.get("face", []):
         ids = [int(i) for i in
@@ -172,16 +204,17 @@ def parse_stl(path: str) -> dict:
         head = f.read(80)
         rest = f.read()
     # binary STL: 80-byte header + u32 count + 50 bytes/tri. "solid" in
-    # the header alone does NOT mean ascii — check the size equation.
+    # the header alone does NOT mean ascii — check the size equation
+    # (>=: many exporters append trailing padding/newlines).
     if len(rest) >= 4:
         (n_tris,) = struct.unpack("<I", rest[:4])
-        if len(rest) == 4 + 50 * n_tris:
-            raw = np.frombuffer(rest[4:], np.dtype("<f4"))
-            # per tri: normal(3) v0(3) v1(3) v2(3) + u16 attr (skip via
-            # structured view)
+        if n_tris > 0 and len(rest) >= 4 + 50 * n_tris:
+            # per tri: normal(3) v0(3) v1(3) v2(3) + u16 attr (skipped
+            # via the structured view)
             rec = np.frombuffer(
-                rest[4:], np.dtype([("n", "<f4", 3), ("v", "<f4", (3, 3)),
-                                    ("attr", "<u2")]))
+                rest[4:4 + 50 * n_tris],
+                np.dtype([("n", "<f4", 3), ("v", "<f4", (3, 3)),
+                          ("attr", "<u2")]))
             verts = rec["v"].reshape(-1, 3)
             normals = np.repeat(rec["n"], 3, axis=0)
             tris = np.arange(len(verts), dtype=np.int32).reshape(-1, 3)
@@ -233,14 +266,17 @@ def _gltf_accessor(doc, bufs, idx):
     ncomp = _GLTF_NCOMP[acc["type"]]
     count = acc["count"]
     offset = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
-    stride = view.get("byteStride") or comp.itemsize * ncomp
-    out = np.empty((count, ncomp), comp)
-    raw = np.frombuffer(buf, np.uint8)
-    for c in range(count):
-        o = offset + c * stride
-        out[c] = np.frombuffer(raw[o:o + comp.itemsize * ncomp].tobytes(),
-                               comp)
-    return out
+    elem = comp.itemsize * ncomp
+    stride = view.get("byteStride") or elem
+    if stride == elem:  # tightly packed: one vectorized read
+        return np.frombuffer(buf, comp, count * ncomp, offset
+                             ).reshape(count, ncomp).copy()
+    # interleaved: read the whole span as bytes, slice a strided view
+    span = np.frombuffer(buf, np.uint8,
+                         stride * (count - 1) + elem, offset)
+    out = np.lib.stride_tricks.as_strided(
+        span, shape=(count, elem), strides=(stride, 1))
+    return out.reshape(-1).view(comp).reshape(count, ncomp).copy()
 
 
 def parse_gltf(path: str) -> dict:
@@ -280,11 +316,13 @@ def parse_gltf(path: str) -> dict:
             n = (_gltf_accessor(doc, bufs, attrs["NORMAL"]
                                 ).astype(np.float32)
                  if "NORMAL" in attrs else np.zeros_like(pos))
-            uv = (_gltf_accessor(doc, bufs, attrs["TEXCOORD_0"]
-                                 ).astype(np.float32)
-                  if "TEXCOORD_0" in attrs
-                  else np.zeros((len(pos), 2), np.float32))
-            uv = np.stack([uv[:, 0], 1.0 - uv[:, 1]], axis=1)  # FlipUVs
+            if "TEXCOORD_0" in attrs:
+                uv = _gltf_accessor(doc, bufs, attrs["TEXCOORD_0"]
+                                    ).astype(np.float32)
+                uv = np.stack([uv[:, 0], 1.0 - uv[:, 1]], axis=1)  # FlipUVs
+            else:
+                uv = np.zeros((len(pos), 2), np.float32)  # zero-fill, no
+                # flip: the placeholder must match OBJ/PLY/STL's (0,0)
             if "indices" in prim:
                 idx = _gltf_accessor(doc, bufs, prim["indices"]
                                      ).astype(np.int64).reshape(-1, 3)

@@ -130,17 +130,17 @@ def main():
 
         kb = kmod.KEY_BLOCK
 
+        from hobbyraytracer_tpu.ops.intersect import pack_coherence_key
+        k_cl = mesh.bounds8.shape[1]
+
         @jax.jit
         def cohsort(r8):
+            # the REAL key packing (ops/intersect.pack_coherence_key), so
+            # this row cannot drift from shipped behavior
             e_min, first = kmod.coherence_keys_pallas(
                 r8.reshape(-1, kb, 8), mesh.bounds8)
-            e_min = e_min.reshape(-1)
-            first = first.reshape(-1)
-            finite = jnp.isfinite(e_min)
-            e_max = jnp.max(jnp.where(finite, e_min, 0.0))
-            e_q = jnp.clip(e_min / jnp.maximum(e_max, 1e-30) * 1048575,
-                           0, 1048575).astype(jnp.int32)
-            sk = jnp.where(finite, first * 1048576 + e_q, 2**30)
+            sk = pack_coherence_key(e_min.reshape(-1), first.reshape(-1),
+                                    k_cl)
             perm = jnp.argsort(sk)
             r8s = r8[perm]
             undone = jnp.zeros_like(r8s).at[perm].set(r8s)

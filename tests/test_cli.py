@@ -48,3 +48,20 @@ def test_bare_scene_path_is_render(tmp_path):
                "--max-depth", "2"])
     assert rc == 1
     assert out.exists()
+
+
+def test_multidevice_checkpoint_resume_cli(tmp_path, capsys):
+    """CLI checkpoint + resume on the (virtual) multi-device path: the
+    stacked per-worker checkpoint must round-trip through --resume
+    (regression: int(state.retired) crashed on the (n_devices,) array)."""
+    out = tmp_path / "o.png"
+    ck = tmp_path / "ck.npz"
+    args = ["render", os.path.join(SCENES, "cornell_box.yaml"), "--cpu",
+            "-o", str(out), "--spp", "2", "--width", "16", "--height",
+            "16", "--max-depth", "2", "--checkpoint", str(ck),
+            "--checkpoint-every", "0"]
+    rc = main(args)
+    assert rc == 1 and ck.exists()
+    rc = main(args + ["--resume"])
+    assert rc == 1
+    assert "Resumed checkpoint" in capsys.readouterr().out
