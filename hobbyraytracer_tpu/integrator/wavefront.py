@@ -188,14 +188,36 @@ def _segment(state: PoolState, scene: scene_ir.SceneIR, width: int,
     pool = state.item.shape[0]
     chunk, n_chunks, last = _chunk_geometry(samples, sample_chunk)
     active = (state.item >= 0) & (state.depth >= 0) & ~state.defer
-    # NOTE (round-3 measurement): a pool-LEVEL coherence sort — permute the
-    # whole lane pool by the mesh key once per segment, skip the per-mesh
-    # sort+unsort inside intersect — benched SLOWER end-to-end (1.64M vs
-    # 1.80M rays/s) even with the state permuted through a single packed
-    # (P,16) gather, so the per-mesh cohsort stays the default.
+    # Pool-LEVEL coherence sort (HRT_POOL_SORT=1): permute the whole lane
+    # pool by the mesh key once per segment and skip the per-mesh
+    # sort+unsort inside intersect. Measured at the 256k pool this lost
+    # (1.64M vs 1.80M rays/s) even with the state permuted through a
+    # single packed (P,16) gather; kept as an opt-in knob because the
+    # tradeoff is pool-size-dependent.
+    mesh_cohsort = None
+    if os.environ.get("HRT_POOL_SORT"):
+        sort_key = scene_ir.wavefront_sort_key(
+            scene, Rays(o=state.o, d=state.d), active)
+        if sort_key is not None:
+            perm = jnp.argsort(sort_key).astype(jnp.int32)
+            ints = jnp.stack([state.item, state.depth, state.sub,
+                              state.defer.astype(jnp.int32)], axis=1)
+            packed = jnp.concatenate(
+                [state.o, state.d, state.thr, state.rad,
+                 jax.lax.bitcast_convert_type(ints, jnp.float32)], axis=1)
+            packed = packed[perm]
+            ints = jax.lax.bitcast_convert_type(packed[:, 12:16], jnp.int32)
+            state = state.replace(
+                o=packed[:, 0:3], d=packed[:, 3:6], thr=packed[:, 6:9],
+                rad=packed[:, 9:12], item=ints[:, 0], depth=ints[:, 1],
+                sub=ints[:, 2], defer=ints[:, 3] != 0)
+            active = ((state.item >= 0) & (state.depth >= 0)
+                      & ~state.defer)
+            mesh_cohsort = False
     r = Rays(o=state.o, d=state.d)
     hits = scene_ir.intersect_scene(scene, r, key, state.it,
-                                    ray_valid=active, mesh_backend="auto")
+                                    ray_valid=active, mesh_backend="auto",
+                                    mesh_cohsort=mesh_cohsort)
 
     miss = active & ~hits.hit
     bg = background_colour(scene, state.d)

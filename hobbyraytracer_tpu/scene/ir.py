@@ -203,6 +203,42 @@ def _resolve_mesh_backend(backend: str, mesh: MeshGeom) -> Tuple[str, bool]:
     return "xla", False
 
 
+def wavefront_sort_key(scene: "SceneIR", rays: Rays, ray_valid=None):
+    """Coherence sort key for a whole wavefront, or None when the scene
+    has no Pallas-traversed mesh (then sorting buys nothing). Packs
+    (nearest-entry cluster id, quantized entry distance) of the FIRST
+    BVH mesh instance — the integrator can permute its entire lane pool
+    by it once per segment instead of paying the per-mesh sort+unsort
+    inside intersect (see integrator/wavefront.py for the measured
+    tradeoff)."""
+    for inst in scene.instances:
+        if (inst.kind == "mesh" and inst.mesh.use_bvh
+                and inst.mesh.bounds8 is not None):
+            backend, interpret = _resolve_mesh_backend("auto", inst.mesh)
+            if backend == "pallas":
+                break
+    else:
+        return None
+    from ..kernels import mesh_traverse as kmod
+    r = inst.transform.ray_to_object(rays) if inst.transform else rays
+    n = rays.o.shape[0]
+    kb = kmod.KEY_BLOCK
+    n_pad = ((n + kb - 1) // kb) * kb
+    if ray_valid is None:
+        ray_valid = jnp.ones((n,), jnp.bool_)
+    o = isect._pad(r.o, n_pad, 0.0)
+    d = isect._pad(r.d, n_pad, 1.0)
+    valid = isect._pad(ray_valid, n_pad, False)
+    rays8 = jnp.concatenate(
+        [o, d, valid.astype(jnp.float32)[:, None],
+         jnp.zeros((n_pad, 1), jnp.float32)], axis=1)
+    e_min, first = kmod.coherence_keys_pallas(
+        rays8.reshape(-1, kb, 8), inst.mesh.bounds8, interpret=interpret)
+    return isect.pack_coherence_key(e_min.reshape(-1)[:n],
+                                    first.reshape(-1)[:n],
+                                    inst.mesh.bounds8.shape[1])
+
+
 def _intersect_instance(inst: Instance, rays: Rays, t_min,
                         ray_valid=None, mesh_backend: str = "xla",
                         mesh_cohsort=None, need_uv: bool = True) -> Hits:
