@@ -42,6 +42,7 @@ progress and checkpoint state are "n samples done + a partial pass".
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Callable, Optional
 
@@ -72,6 +73,11 @@ _BIGI = 2 ** 30  # plain int: a module-level jnp array would
 
 # RNG purpose tag for work-item issue order (distinct from core/rng tags)
 _REGEN = 101
+
+# Pool-level coherence sort opt-in (see _segment). Read ONCE at import —
+# an env lookup inside the traced function would re-read per trace and
+# is exactly the kind of hidden trace-time dependency that broke round 3.
+POOL_SORT = bool(os.environ.get("HRT_POOL_SORT"))
 
 
 @flax.struct.dataclass
@@ -180,7 +186,8 @@ def _regenerate(state: PoolState, camera: Camera, width: int, height: int,
 
 def _segment(state: PoolState, scene: scene_ir.SceneIR, width: int,
              height: int, key, max_depth: int, samples: int,
-             sample_chunk: int = SAMPLE_CHUNK, rr: bool = True) -> PoolState:
+             sample_chunk: int = SAMPLE_CHUNK, rr: bool = True,
+             pool_sort: Optional[bool] = None) -> PoolState:
     """Trace one path segment for every active lane; roll finished samples
     into the next sample of their chunk; retire finished chunks into the
     framebuffer via the compacted planar scatter."""
@@ -194,8 +201,10 @@ def _segment(state: PoolState, scene: scene_ir.SceneIR, width: int,
     # (1.64M vs 1.80M rays/s) even with the state permuted through a
     # single packed (P,16) gather; kept as an opt-in knob because the
     # tradeoff is pool-size-dependent.
+    if pool_sort is None:
+        pool_sort = POOL_SORT
     mesh_cohsort = None
-    if os.environ.get("HRT_POOL_SORT"):
+    if pool_sort:
         sort_key = scene_ir.wavefront_sort_key(
             scene, Rays(o=state.o, d=state.d), active)
         if sort_key is not None:
@@ -296,11 +305,12 @@ def _segment(state: PoolState, scene: scene_ir.SceneIR, width: int,
     )
 
 
-@partial(jax.jit, static_argnums=(5, 6, 8, 11), donate_argnums=0)
+@partial(jax.jit, static_argnums=(5, 6, 8, 11, 12), donate_argnums=0)
 def _pool_run(state: PoolState, scene, camera, key, n_steps,
               width: int, height: int, total_items,
               max_depth: int, samples=1,
-              sample_chunk=SAMPLE_CHUNK, rr: bool = True) -> PoolState:
+              sample_chunk=SAMPLE_CHUNK, rr: bool = True,
+              pool_sort: Optional[bool] = None) -> PoolState:
     """Advance the pool by up to n_steps iterations (stops early when the
     whole render is done). Donated state -> in-place buffer reuse."""
 
@@ -313,7 +323,7 @@ def _pool_run(state: PoolState, scene, camera, key, n_steps,
         s, i = c
         s = _regenerate(s, camera, width, height, total_items, key)
         s = _segment(s, scene, width, height, key, max_depth, samples,
-                     sample_chunk, rr)
+                     sample_chunk, rr, pool_sort)
         return s, i + 1
 
     state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
@@ -329,6 +339,7 @@ def render_state(scene: scene_ir.SceneIR, camera: Camera, width: int,
                  checkpoint_cb: Optional[Callable[[PoolState], None]] = None,
                  sample_chunk: int = SAMPLE_CHUNK,
                  rr: bool = True,
+                 pool_sort: Optional[bool] = None,
                  ) -> PoolState:
     """Run the pool to completion; returns the final state (fb holds the
     radiance SUM over `samples` samples per pixel).
@@ -350,7 +361,8 @@ def render_state(scene: scene_ir.SceneIR, camera: Camera, width: int,
         state = _pool_run(state, scene, camera, key,
                           jnp.int32(steps_per_call), width, height,
                           jnp.int32(total_items), max_depth,
-                          jnp.int32(samples), jnp.int32(sample_chunk), rr)
+                          jnp.int32(samples), jnp.int32(sample_chunk), rr,
+                          pool_sort)
         retired = int(jax.device_get(state.retired))
         if progress_cb is not None:
             progress_cb(retired, total_samples)
@@ -366,14 +378,16 @@ def render_image(scene: scene_ir.SceneIR, camera: Camera, width: int,
                  progress_cb=None, state: Optional[PoolState] = None,
                  checkpoint_cb=None,
                  sample_chunk: int = SAMPLE_CHUNK,
-                 rr: bool = True) -> jnp.ndarray:
+                 rr: bool = True,
+                 pool_sort: Optional[bool] = None) -> jnp.ndarray:
     """Full render -> tonemapped (H, W, 3) float image in [0,1]; same film
     pipeline as integrator/path.py (average -> ACES -> gamma)."""
     state = render_state(scene, camera, width, height, samples, key,
                          max_depth=max_depth, pool=pool,
                          progress_cb=progress_cb, state=state,
                          checkpoint_cb=checkpoint_cb,
-                         sample_chunk=sample_chunk, rr=rr)
+                         sample_chunk=sample_chunk, rr=rr,
+                         pool_sort=pool_sort)
     mean = framebuffer(state, width, height) / jnp.float32(samples)
     img = film_ops.tonemap(mean)
     return img.reshape(height, width, 3)

@@ -164,3 +164,33 @@ def test_retire_cap_overflow_defers_and_recovers(cornell):
     fb = np.asarray(wavefront.framebuffer(state, w, h))
     # every preloaded radiance landed exactly once at its own pixel
     np.testing.assert_allclose(fb[:pool], np.asarray(preload), rtol=1e-6)
+
+
+def test_pool_sort_matches_default_radiometry(monkeypatch):
+    """Opt-in pool-level coherence sort (pool_sort=True / HRT_POOL_SORT):
+    permuting the whole lane pool by the mesh key must preserve the
+    render's bookkeeping exactly (the packed permute of item/depth/sub/
+    defer round-trips through the f32 bitcast) and its radiometry
+    statistically (lane permutation reshuffles RNG streams across items,
+    so agreement is statistical like wavefront-vs-batch). Needs a mesh
+    scene so wavefront_sort_key is non-None; the Pallas key kernel runs
+    in interpreter mode on CPU."""
+    monkeypatch.setenv("HRT_PALLAS_INTERPRET", "1")
+    ensure_assets()
+    job = build_scene(load_scene_desc(os.path.join(HERE,
+                                                   "shiny_teapot.yaml")))
+    w, h, spp = 12, 12, 16
+    imgs = {}
+    for ps in (False, True):
+        state = wavefront.render_state(job.scene, job.camera, w, h, spp,
+                                       jax.random.PRNGKey(0), max_depth=4,
+                                       pool=144, pool_sort=ps)
+        assert int(state.retired) == w * h * spp, ps
+        assert not bool(jnp.any(state.item >= 0)), ps
+        fb = np.asarray(wavefront.framebuffer(state, w, h))
+        assert np.isfinite(fb).all(), ps
+        imgs[ps] = fb / spp
+    m0, m1 = imgs[False].mean(), imgs[True].mean()
+    assert abs(m1 - m0) / m0 < 0.15, (m0, m1)
+    corr = np.corrcoef(imgs[False].ravel(), imgs[True].ravel())[0, 1]
+    assert corr > 0.9, corr
