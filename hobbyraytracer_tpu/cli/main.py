@@ -80,10 +80,14 @@ def cmd_render(args) -> int:
 
         ckpt_cb = None
         state = None
+        n_dev = len(jax.devices())
         if args.checkpoint:
             from ..io import checkpoint as ckpt
+            meta = ckpt.render_meta(width, height, samples,
+                                    wavefront.SAMPLE_CHUNK,
+                                    n_workers=n_dev)
             if args.resume and os.path.exists(args.checkpoint):
-                state = ckpt.load_state(args.checkpoint)
+                state = ckpt.load_state(args.checkpoint, expect=meta)
                 # multi-device checkpoints stack per-worker states, so
                 # retired is an (n_devices,) array — sum, don't int()
                 done = int(np.sum(np.asarray(state.retired)))
@@ -93,10 +97,8 @@ def cmd_render(args) -> int:
 
             def ckpt_cb(s):
                 if time.time() - last_ck[0] >= args.checkpoint_every:
-                    ckpt.save_state(args.checkpoint, s)
+                    ckpt.save_state(args.checkpoint, s, meta=meta)
                     last_ck[0] = time.time()
-
-        n_dev = len(jax.devices())
         if n_dev > 1:
             # multi-chip: one drain loop per device over its item slice,
             # chunked on the host so progress + checkpoint/resume work

@@ -74,10 +74,13 @@ _BIGI = 2 ** 30  # plain int: a module-level jnp array would
 # RNG purpose tag for work-item issue order (distinct from core/rng tags)
 _REGEN = 101
 
-# Pool-level coherence sort opt-in (see _segment). Read ONCE at import —
-# an env lookup inside the traced function would re-read per trace and
-# is exactly the kind of hidden trace-time dependency that broke round 3.
-POOL_SORT = bool(os.environ.get("HRT_POOL_SORT"))
+# Pool-level coherence sort period (see _segment): 0 = off (per-mesh
+# sort inside intersect), N >= 1 = permute the whole lane pool by the
+# mesh key every N segments and skip the per-mesh sort. Read ONCE at
+# import — an env lookup inside the traced function would re-read per
+# trace and is exactly the kind of hidden trace-time dependency that
+# broke round 3.
+POOL_SORT = int(os.environ.get("HRT_POOL_SORT", "0") or 0)
 
 
 @flax.struct.dataclass
@@ -195,31 +198,43 @@ def _segment(state: PoolState, scene: scene_ir.SceneIR, width: int,
     pool = state.item.shape[0]
     chunk, n_chunks, last = _chunk_geometry(samples, sample_chunk)
     active = (state.item >= 0) & (state.depth >= 0) & ~state.defer
-    # Pool-LEVEL coherence sort (HRT_POOL_SORT=1): permute the whole lane
-    # pool by the mesh key once per segment and skip the per-mesh
-    # sort+unsort inside intersect. Measured at the 256k pool this lost
-    # (1.64M vs 1.80M rays/s) even with the state permuted through a
-    # single packed (P,16) gather; kept as an opt-in knob because the
-    # tradeoff is pool-size-dependent.
+    # Pool-LEVEL coherence sort (pool_sort=N / HRT_POOL_SORT=N): permute
+    # the whole lane pool by the mesh key every N segments and skip the
+    # per-mesh sort+unsort inside intersect for ALL segments. Wavefronts
+    # mutate slowly (mean path length ~3-4 segments under RR), so a
+    # stale permutation keeps most of the visit-count win while paying
+    # the packed (P,16) permute gather only 1/N of the time. Measured on
+    # the teapot bench (round 4): N=1 every segment LOSES (the permute
+    # costs as much as the per-mesh sort it replaces), the amortized
+    # periods are in PERF.md.
     if pool_sort is None:
         pool_sort = POOL_SORT
+    period = int(pool_sort)
     mesh_cohsort = None
-    if pool_sort:
-        sort_key = scene_ir.wavefront_sort_key(
-            scene, Rays(o=state.o, d=state.d), active)
-        if sort_key is not None:
+    if period > 0:
+        def _pool_permute(s: PoolState) -> PoolState:
+            sort_key = scene_ir.wavefront_sort_key(
+                scene, Rays(o=s.o, d=s.d),
+                (s.item >= 0) & (s.depth >= 0) & ~s.defer)
             perm = jnp.argsort(sort_key).astype(jnp.int32)
-            ints = jnp.stack([state.item, state.depth, state.sub,
-                              state.defer.astype(jnp.int32)], axis=1)
+            ints = jnp.stack([s.item, s.depth, s.sub,
+                              s.defer.astype(jnp.int32)], axis=1)
             packed = jnp.concatenate(
-                [state.o, state.d, state.thr, state.rad,
+                [s.o, s.d, s.thr, s.rad,
                  jax.lax.bitcast_convert_type(ints, jnp.float32)], axis=1)
             packed = packed[perm]
             ints = jax.lax.bitcast_convert_type(packed[:, 12:16], jnp.int32)
-            state = state.replace(
+            return s.replace(
                 o=packed[:, 0:3], d=packed[:, 3:6], thr=packed[:, 6:9],
                 rad=packed[:, 9:12], item=ints[:, 0], depth=ints[:, 1],
                 sub=ints[:, 2], defer=ints[:, 3] != 0)
+
+        if scene_ir.has_wavefront_sort_key(scene):
+            if period == 1:
+                state = _pool_permute(state)
+            else:
+                state = jax.lax.cond(state.it % period == 0,
+                                     _pool_permute, lambda s: s, state)
             active = ((state.item >= 0) & (state.depth >= 0)
                       & ~state.defer)
             mesh_cohsort = False
@@ -357,6 +372,12 @@ def render_state(scene: scene_ir.SceneIR, camera: Camera, width: int,
     pool = min(pool, total_items)
     if state is None:
         state = init_state(width, height, pool)
+    elif state.retired.ndim != 0:
+        # stacked multi-worker checkpoints (leading device axis on every
+        # leaf) belong to parallel.shard.render_wavefront_sharded
+        raise ValueError(
+            f"checkpoint holds {state.retired.shape[0]} stacked worker "
+            "states; resume it on a mesh of that size, not single-device")
     while True:
         state = _pool_run(state, scene, camera, key,
                           jnp.int32(steps_per_call), width, height,

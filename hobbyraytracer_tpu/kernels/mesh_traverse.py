@@ -240,9 +240,19 @@ def traverse_clusters_pallas(rays8, bounds8, tri_soa, tri_id,
     assert bounds8.shape == (8, k_clusters), bounds8.shape
     kern = functools.partial(_kernel, k_clusters=k_clusters,
                              t_max=float(t_max), need_uv=need_uv)
+    # Ray blocks are independent: declare the grid axis parallel so
+    # Mosaic may spread blocks over however many TensorCores the chip
+    # has. Measured on the bench chip (TPU v5e, ONE TensorCore): no
+    # change vs arbitrary (PERF.md round 4) — kept because it is the
+    # correct semantic declaration and multi-core chips (v4/v5p) get
+    # the split for free. HRT_DIM_SEM overrides for experiments.
+    dim_sem = os.environ.get("HRT_DIM_SEM", "parallel")
+    params = (pltpu.CompilerParams(dimension_semantics=(dim_sem,))
+              if dim_sem else None)
     out_f, out_i = pl.pallas_call(
         kern,
         grid=(nb,),
+        compiler_params=params,
         in_specs=[
             pl.BlockSpec((1, b, 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -154,7 +154,14 @@ def render_wavefront_sharded(scene, camera, width: int, height: int,
         state = jax.tree.map(
             lambda x: jnp.tile(x[None], (n,) + (1,) * x.ndim), base)
     else:
-        lead = jax.tree.leaves(state)[0].shape[0]
+        # stacked multi-worker states carry a leading device axis on every
+        # leaf; a scalar `retired` means a single-device checkpoint
+        if state.retired.ndim != 1:
+            raise ValueError(
+                "checkpoint is a single-device render state; this render "
+                f"runs on a {n}-device mesh — resume it with one device "
+                "or restart")
+        lead = state.retired.shape[0]
         if lead != n:
             raise ValueError(
                 f"checkpoint has {lead} worker states, mesh has {n} "

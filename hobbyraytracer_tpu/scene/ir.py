@@ -203,6 +203,19 @@ def _resolve_mesh_backend(backend: str, mesh: MeshGeom) -> Tuple[str, bool]:
     return "xla", False
 
 
+def has_wavefront_sort_key(scene: "SceneIR") -> bool:
+    """Static (trace-free) predicate: does wavefront_sort_key return a
+    key for this scene? True iff some mesh instance resolves to the
+    Pallas traversal (same walk as wavefront_sort_key's header)."""
+    for inst in scene.instances:
+        if (inst.kind == "mesh" and inst.mesh.use_bvh
+                and inst.mesh.bounds8 is not None):
+            backend, _ = _resolve_mesh_backend("auto", inst.mesh)
+            if backend == "pallas":
+                return True
+    return False
+
+
 def wavefront_sort_key(scene: "SceneIR", rays: Rays, ray_valid=None):
     """Coherence sort key for a whole wavefront, or None when the scene
     has no Pallas-traversed mesh (then sorting buys nothing). Packs

@@ -260,6 +260,11 @@ def _gltf_buffers(doc, path, bin_chunk):
 
 def _gltf_accessor(doc, bufs, idx):
     acc = doc["accessors"][idx]
+    if "sparse" in acc:
+        # fail loudly: silently ignoring the sparse substitution would
+        # load wrong geometry (ADVICE r3: was a KeyError-driven skip)
+        raise ValueError("glTF sparse accessors are not supported "
+                         f"(accessor {idx})")
     view = doc["bufferViews"][acc["bufferView"]]
     buf = bufs[view.get("buffer", 0)]
     comp = np.dtype("<" + _GLTF_COMP[acc["componentType"]])
@@ -269,14 +274,30 @@ def _gltf_accessor(doc, bufs, idx):
     elem = comp.itemsize * ncomp
     stride = view.get("byteStride") or elem
     if stride == elem:  # tightly packed: one vectorized read
-        return np.frombuffer(buf, comp, count * ncomp, offset
-                             ).reshape(count, ncomp).copy()
+        out = np.frombuffer(buf, comp, count * ncomp, offset
+                            ).reshape(count, ncomp).copy()
+        return _gltf_normalize(out, acc, comp)
     # interleaved: read the whole span as bytes, slice a strided view
     span = np.frombuffer(buf, np.uint8,
                          stride * (count - 1) + elem, offset)
     out = np.lib.stride_tricks.as_strided(
         span, shape=(count, elem), strides=(stride, 1))
-    return out.reshape(-1).view(comp).reshape(count, ncomp).copy()
+    out = out.reshape(-1).view(comp).reshape(count, ncomp).copy()
+    return _gltf_normalize(out, acc, comp)
+
+
+def _gltf_normalize(arr, acc, comp):
+    """Apply the accessor `normalized` flag (glTF 2.0 §3.6.2.2): integer
+    components map to [0,1] (unsigned) / [-1,1] (signed) floats. Without
+    this, spec-valid u8/u16 NORMAL or TEXCOORD_0 data loads as raw
+    integers (UVs in 0..255) and shades wrongly (ADVICE r3)."""
+    if not acc.get("normalized") or comp.kind == "f":
+        return arr
+    info = np.iinfo(comp)
+    out = arr.astype(np.float32) / np.float32(info.max)
+    if info.min < 0:
+        out = np.maximum(out, -1.0)
+    return out
 
 
 def parse_gltf(path: str) -> dict:

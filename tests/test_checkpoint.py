@@ -70,3 +70,47 @@ def test_roundtrip_preserves_all_fields(tmp_path):
               "defer", "counter", "retired", "it"):
         np.testing.assert_array_equal(np.asarray(getattr(back, f)),
                                       np.asarray(getattr(state, f)), f)
+
+
+def test_meta_mismatch_rejected(tmp_path):
+    """v4 metadata: resuming with different samples/sample_chunk or a
+    different worker count must error clearly instead of silently
+    mis-mapping work items to pixels (item ids encode the chunk
+    geometry)."""
+    import pytest
+
+    state = wavefront.init_state(8, 8, pool=32)
+    path = str(tmp_path / "meta.npz")
+    meta = ckpt.render_meta(8, 8, samples=16, sample_chunk=4, n_workers=1)
+    ckpt.save_state(path, state, meta=meta)
+
+    # matching expectation loads fine
+    ckpt.load_state(path, expect=meta)
+    # and so does loading with no expectation (back-compat)
+    ckpt.load_state(path)
+
+    with pytest.raises(ValueError, match="samples"):
+        ckpt.load_state(path, expect=ckpt.render_meta(8, 8, 32, 4, 1))
+    with pytest.raises(ValueError, match="N-device mesh"):
+        ckpt.load_state(path, expect=ckpt.render_meta(8, 8, 16, 4, 4))
+
+    # v3 files (no metadata) still load, with or without expectations
+    legacy = str(tmp_path / "legacy.npz")
+    arrays = {f: np.asarray(getattr(state, f)) for f in ckpt._FIELDS}
+    arrays["__version__"] = np.int32(3)
+    np.savez(legacy, **arrays)
+    ckpt.load_state(legacy, expect=meta)
+
+
+def test_stacked_state_rejected_single_device():
+    """A multi-worker (stacked) checkpoint resumed single-device must be
+    rejected up front, not crash later with shape errors."""
+    import pytest
+
+    job = _job()
+    base = wavefront.init_state(8, 8, pool=32)
+    stacked = jax.tree.map(lambda x: jnp.stack([x, x]), base)
+    with pytest.raises(ValueError, match="stacked worker"):
+        wavefront.render_state(job.scene, job.camera, 8, 8, 2,
+                               jax.random.PRNGKey(0), state=stacked,
+                               max_depth=4, pool=32)

@@ -200,3 +200,36 @@ def test_awesome_reflections_matches_golden():
                               axis=1).mean()
         assert centre < edge - 0.02, (centre, edge)
     assert _grid_corr(ours, ref) > 0.6
+
+
+def test_self_golden_big_shiny():
+    """Pinned stats of OUR shiny_teapot render (the big_shiny scene) at
+    fixed seed — the loose reference gate (atol 0.12-0.20 vs a calibrated
+    stand-in env) could hide a fairly wrong render; this cannot. Measured
+    seed 7/8 at fixture v3: mean 0.5216/0.5220, top-third 0.5877/0.5878,
+    bottom-third 0.4425/0.4419, centre RGB ~[0.40, 0.38, 0.36]. Update
+    only with an investigated radiometry change."""
+    ours = _render("shiny_teapot.yaml", 64, 36, spp=24, seed=7)
+    assert 0.49 < float(ours.mean()) < 0.55, ours.mean()
+    top = float(ours[:12].mean())
+    bot = float(ours[-12:].mean())
+    assert 0.55 < top < 0.63 and 0.41 < bot < 0.48, (top, bot)
+    c = ours[12:24, 21:43].mean(axis=(0, 1))
+    assert c[0] > c[1] > c[2], c          # warm reflective grey
+    assert 0.36 < c[0] < 0.45, c
+
+
+def test_self_golden_awesome_reflections():
+    """Pinned stats of OUR awesome_reflections render at fixed seed.
+    Measured seed 7/8 at fixture v3: mean 0.6258/0.6251, top-third
+    0.8609/0.8607, bottom-third 0.4228/0.4226, centre RGB
+    ~[0.45, 0.47, 0.51] (cool: sky reflected in the teapot). Update only
+    with an investigated radiometry change."""
+    ours = _render("awesome_reflections.yaml", 64, 36, spp=24, seed=7)
+    assert 0.60 < float(ours.mean()) < 0.66, ours.mean()
+    top = float(ours[:12].mean())
+    bot = float(ours[-12:].mean())
+    assert 0.83 < top < 0.89 and 0.39 < bot < 0.46, (top, bot)
+    c = ours[12:24, 21:43].mean(axis=(0, 1))
+    assert c[2] > c[1] > c[0], c          # cool sky-lit centre
+    assert 0.47 < c[2] < 0.55, c

@@ -133,3 +133,48 @@ def test_mesh_medium_through_full_scene(jobs):
     r = _rand_rays(256, seed=3)
     h = scene_ir.intersect_scene(mesh.scene, r, jax.random.PRNGKey(4), 0)
     assert np.isfinite(np.asarray(h.t)).all()
+
+
+def _shifted_cube_obj(dz, vbase):
+    """CUBE_OBJ translated by dz along z with vertex indices offset."""
+    out = []
+    for line in CUBE_OBJ.strip().splitlines():
+        toks = line.split()
+        if toks[0] == "v":
+            x, y, z = (float(t) for t in toks[1:4])
+            out.append(f"v {x} {y} {z + dz}")
+        else:
+            a, b, c = (int(t) + vbase for t in toks[1:4])
+            out.append(f"f {a} {b} {c}")
+    return "\n".join(out)
+
+
+def test_nonconvex_mesh_boundary_first_span_only():
+    """Documented approximation (ir._medium_span, btype='mesh'): a
+    NON-CONVEX boundary contributes its FIRST span only — the first two
+    crossings. Two disjoint unit cubes (z in [-1,1] and [3,5]) in one
+    mesh: a +z ray entering from z=-5 must get span [4, 6] in t (the
+    first cube's chord), NOT extend to the second cube (exit t=10). If
+    the approximation is ever upgraded to re-entrant sampling (the
+    reference's ConstantMedium::hit re-casts per hit,
+    constantMedium.cpp:4-38), this pin should change deliberately."""
+    two = _shifted_cube_obj(0.0, 0) + "\n" + _shifted_cube_obj(4.0, 8)
+    with tempfile.NamedTemporaryFile("w", suffix=".obj",
+                                     delete=False) as f:
+        f.write(two)
+        obj = f.name
+    try:
+        job = _build("{type: mesh, path: %s}" % obj)
+    finally:
+        os.unlink(obj)
+    med = job.scene.media[0]
+    assert med.btype == "mesh"
+    n = 8
+    o = np.tile(np.asarray([[0.0, 0.0, -5.0]], np.float32), (n, 1))
+    o[:, 0] = np.linspace(-0.5, 0.5, n)  # stay inside both cubes' x range
+    d = np.tile(np.asarray([[0.0, 0.0, 1.0]], np.float32), (n, 1))
+    r = Rays(o=jnp.asarray(o), d=jnp.asarray(d))
+    t1, t2, valid = scene_ir._medium_span(med, r)
+    assert bool(np.asarray(valid).all())
+    np.testing.assert_allclose(np.asarray(t1), 4.0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(t2), 6.0, atol=1e-3)

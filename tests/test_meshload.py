@@ -211,3 +211,35 @@ objects:
                                     jax.random.PRNGKey(0), max_depth=2)
         imgs.append(np.asarray(img))
     np.testing.assert_array_equal(imgs[0], imgs[1])
+
+
+def test_gltf_normalized_uv_and_sparse_rejected(quad, tmp_path):
+    """glTF `normalized` u16 TEXCOORD_0 must map to [0,1] floats
+    (glTF 2.0 3.6.2.2); sparse accessors must raise, not skip."""
+    verts, normals, uvs, indices = quad
+    doc, bin_data = _gltf_doc(verts, normals, uvs, indices)
+    # replace the f32 UV view with normalized u16 data appended at the end
+    uv16 = np.round(uvs * 65535.0).astype("<u2")
+    off = len(bin_data)
+    bin_data = bin_data + uv16.tobytes()
+    doc["bufferViews"].append({"buffer": 0, "byteOffset": off,
+                               "byteLength": uv16.size * 2})
+    doc["accessors"][2] = {"bufferView": 4, "componentType": 5123,
+                           "count": len(verts), "type": "VEC2",
+                           "normalized": True}
+    doc["buffers"] = [{
+        "byteLength": len(bin_data),
+        "uri": "data:application/octet-stream;base64,"
+               + base64.b64encode(bin_data).decode()}]
+    p = tmp_path / "norm.gltf"
+    p.write_text(json.dumps(doc))
+    m = meshload.load_mesh(str(p))
+    np.testing.assert_allclose(m["uvs"][:, 0], uvs[:, 0], atol=1e-4)
+    np.testing.assert_allclose(m["uvs"][:, 1], 1.0 - uvs[:, 1], atol=1e-4)
+
+    doc["accessors"][0]["sparse"] = {"count": 1}
+    p2 = tmp_path / "sparse.gltf"
+    p2.write_text(json.dumps(doc))
+    import pytest
+    with pytest.raises(ValueError, match="sparse"):
+        meshload.load_mesh(str(p2))

@@ -166,7 +166,8 @@ def test_retire_cap_overflow_defers_and_recovers(cornell):
     np.testing.assert_allclose(fb[:pool], np.asarray(preload), rtol=1e-6)
 
 
-def test_pool_sort_matches_default_radiometry(monkeypatch):
+@pytest.mark.parametrize("period", [1, 3])
+def test_pool_sort_matches_default_radiometry(monkeypatch, period):
     """Opt-in pool-level coherence sort (pool_sort=True / HRT_POOL_SORT):
     permuting the whole lane pool by the mesh key must preserve the
     render's bookkeeping exactly (the packed permute of item/depth/sub/
@@ -181,7 +182,7 @@ def test_pool_sort_matches_default_radiometry(monkeypatch):
                                                    "shiny_teapot.yaml")))
     w, h, spp = 12, 12, 16
     imgs = {}
-    for ps in (False, True):
+    for ps in (False, period):
         state = wavefront.render_state(job.scene, job.camera, w, h, spp,
                                        jax.random.PRNGKey(0), max_depth=4,
                                        pool=144, pool_sort=ps)
@@ -190,7 +191,7 @@ def test_pool_sort_matches_default_radiometry(monkeypatch):
         fb = np.asarray(wavefront.framebuffer(state, w, h))
         assert np.isfinite(fb).all(), ps
         imgs[ps] = fb / spp
-    m0, m1 = imgs[False].mean(), imgs[True].mean()
+    m0, m1 = imgs[False].mean(), imgs[period].mean()
     assert abs(m1 - m0) / m0 < 0.15, (m0, m1)
-    corr = np.corrcoef(imgs[False].ravel(), imgs[True].ravel())[0, 1]
+    corr = np.corrcoef(imgs[False].ravel(), imgs[period].ravel())[0, 1]
     assert corr > 0.9, corr
