@@ -30,35 +30,55 @@ def stream(key: jax.Array, purpose: int, bounce=0) -> jax.Array:
     return jax.random.fold_in(jax.random.fold_in(key, purpose), bounce)
 
 
-def uniform(key: jax.Array, shape=()) -> jnp.ndarray:
-    """U[0,1) float32 (glm::linearRand(0,1))."""
-    return jax.random.uniform(key, shape, dtype=jnp.float32)
+def _span_slice(full: jnp.ndarray, span, shape) -> jnp.ndarray:
+    """Take this worker's rows of a full-batch draw. span = (offset,
+    total): `full` has leading dim `total`; the result has `shape` (whose
+    leading dim is the local count). The offset may be traced (a
+    shard_map worker computes it from its axis index)."""
+    off, _ = span
+    start = (off,) + (0,) * (full.ndim - 1)
+    return jax.lax.dynamic_slice(full, start, shape)
 
 
-def unit_sphere(key: jax.Array, shape=()) -> jnp.ndarray:
+def uniform(key: jax.Array, shape=(), span=None) -> jnp.ndarray:
+    """U[0,1) float32 (glm::linearRand(0,1)).
+
+    span=(offset, total): draw the FULL (total, ...) stream and slice this
+    worker's rows — a sliced wavefront then sees bit-identical randomness
+    to the same rows of an unsliced one, which is what makes the
+    shard_map fit path match the single-device fit exactly
+    (parallel/shard.py:sharded_fit_step)."""
+    if span is None:
+        return jax.random.uniform(key, shape, dtype=jnp.float32)
+    full = jax.random.uniform(key, (span[1],) + tuple(shape[1:]),
+                              dtype=jnp.float32)
+    return _span_slice(full, span, shape)
+
+
+def unit_sphere(key: jax.Array, shape=(), span=None) -> jnp.ndarray:
     """Uniform on the unit sphere surface (glm::sphericalRand(1))."""
     k1, k2 = jax.random.split(key)
-    z = jax.random.uniform(k1, shape, jnp.float32, -1.0, 1.0)
-    phi = jax.random.uniform(k2, shape, jnp.float32, 0.0, 2.0 * jnp.pi)
+    z = uniform(k1, shape, span) * 2.0 - 1.0
+    phi = uniform(k2, shape, span) * (2.0 * jnp.pi)
     r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 
 
-def in_ball(key: jax.Array, shape=()) -> jnp.ndarray:
+def in_ball(key: jax.Array, shape=(), span=None) -> jnp.ndarray:
     """Uniform inside the unit ball (glm::ballRand(1))."""
     k1, k2 = jax.random.split(key)
-    d = unit_sphere(k1, shape)
-    u = jax.random.uniform(k2, shape, jnp.float32)
+    d = unit_sphere(k1, shape, span)
+    u = uniform(k2, shape, span)
     return d * jnp.cbrt(u)[..., None]
 
 
-def in_disk(key: jax.Array, shape=()) -> jnp.ndarray:
+def in_disk(key: jax.Array, shape=(), span=None) -> jnp.ndarray:
     """Uniform inside the unit disk (glm::circularRand-style, for the lens).
 
     The reference computes lensRadius but has defocus disabled
     (camera.h:34-35); we keep this for the opt-in lens flag.
     """
     k1, k2 = jax.random.split(key)
-    r = jnp.sqrt(jax.random.uniform(k1, shape, jnp.float32))
-    phi = jax.random.uniform(k2, shape, jnp.float32, 0.0, 2.0 * jnp.pi)
+    r = jnp.sqrt(uniform(k1, shape, span))
+    phi = uniform(k2, shape, span) * (2.0 * jnp.pi)
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi)], axis=-1)

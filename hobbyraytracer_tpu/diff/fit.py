@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ..core import rng
 from ..integrator import path as path_mod
 from ..scene import ir as scene_ir
 
@@ -45,8 +46,12 @@ def select_params(scene: scene_ir.SceneIR, fit_vertices: bool = False):
             new_instances = []
             for inst in instances:
                 if inst.kind == "mesh":
-                    new_instances.append(inst.replace(
-                        mesh=inst.mesh.replace(verts=p["verts"][vi])))
+                    # refresh the Pallas find tables from the fitted
+                    # vertices so the kernel FIND tracks the moving
+                    # geometry (round-4; see ir.refresh_kernel_tables)
+                    mesh = scene_ir.refresh_kernel_tables(
+                        inst.mesh.replace(verts=p["verts"][vi]))
+                    new_instances.append(inst.replace(mesh=mesh))
                     vi += 1
                 else:
                     new_instances.append(inst)
@@ -81,6 +86,42 @@ def render_linear(scene: scene_ir.SceneIR, camera, width: int, height: int,
     # scan + per-sample remat: reverse-mode memory stays at ONE sample's
     # bounce chain regardless of n_samples (each sample is recomputed in
     # the backward pass; trace_diff remats each bounce the same way)
+    acc, _ = jax.lax.scan(jax.checkpoint(one_sample), acc,
+                          jnp.arange(n_samples, dtype=jnp.int32))
+    return acc / jnp.float32(n_samples)
+
+
+def render_linear_slice(scene: scene_ir.SceneIR, camera, width: int,
+                        height: int, key, n_samples: int, pix0, n_pix: int,
+                        max_depth: int = 6,
+                        mesh_backend: str = "auto_diff") -> jnp.ndarray:
+    """render_linear restricted to the n_pix pixels starting at flat
+    index pix0 (which may be traced — a shard_map worker derives it from
+    its axis index). Every RNG draw is the FULL-image stream sliced to
+    this worker's rows (core/rng.py span), so the result is bit-identical
+    to render_linear(...)[pix0:pix0+n_pix] — the property that makes the
+    shard_map fit path match the single-device fit exactly
+    (tests/test_dist.py::test_sharded_fit_grads_match_pallas)."""
+    wh = width * height
+    pidx = pix0 + jnp.arange(n_pix, dtype=jnp.int32)
+    x = (pidx % width).astype(jnp.float32)
+    y = (height - pidx // width).astype(jnp.float32)
+    span = (pix0, wh)
+
+    def one_sample(acc, s):
+        k = jax.random.fold_in(key, s)
+        ku, kv, kt = jax.random.split(k, 3)
+        ju = rng.uniform(ku, (n_pix,), span)
+        jv = rng.uniform(kv, (n_pix,), span)
+        u = (x + ju) / (width - 1)
+        v = (y + jv) / (height - 1)
+        from ..ops.camera import get_rays
+        rays = get_rays(camera, u, v, key=kt, span=span)
+        return acc + path_mod.trace_diff(scene, rays, kt, max_depth,
+                                         mesh_backend=mesh_backend,
+                                         rng_span=span), None
+
+    acc = jnp.zeros((n_pix, 3), jnp.float32)
     acc, _ = jax.lax.scan(jax.checkpoint(one_sample), acc,
                           jnp.arange(n_samples, dtype=jnp.int32))
     return acc / jnp.float32(n_samples)
@@ -141,11 +182,12 @@ def fit_materials(scene: scene_ir.SceneIR, camera, target, width, height,
     pixels, drives the loss."""
     key = key if key is not None else jax.random.PRNGKey(0)
     params, rebuild = select_params(scene, fit_vertices)
-    # vertex fits move geometry every step: the mesh FIND must track the
-    # live vertices (XLA traversal). Material-only fits keep geometry
-    # static, so the Pallas find over build-time tables is exact and
-    # ~1.8x faster per fit step (pallas_replay via "auto_diff"; PERF.md).
-    mesh_backend = "xla" if fit_vertices else "auto_diff"
+    # Both fit kinds run the Pallas find ("auto_diff" -> pallas_replay).
+    # Vertex fits used to be pinned to the lockstep XLA traversal because
+    # the build-time kernel tables could not see moving vertices; since
+    # round 4, rebuild() refreshes the tables from the live verts every
+    # step (ir.refresh_kernel_tables), so the find tracks the fit.
+    mesh_backend = "auto_diff"
     opt = optax.adam(lr)
     opt_state = opt.init(params)
 

@@ -87,7 +87,8 @@ def trace(scene: scene_ir.SceneIR, rays: Rays, key: jax.Array,
 
 def trace_diff(scene: scene_ir.SceneIR, rays: Rays, key: jax.Array,
                max_depth: int = 8,
-               mesh_backend: str = "auto_diff") -> jnp.ndarray:
+               mesh_backend: str = "auto_diff",
+               rng_span=None) -> jnp.ndarray:
     """Differentiable variant of `trace` for the inverse-rendering path.
 
     `lax.while_loop` has no reverse-mode derivative, so the bounce loop runs
@@ -109,7 +110,8 @@ def trace_diff(scene: scene_ir.SceneIR, rays: Rays, key: jax.Array,
         o, d, result, throughput, active = state
         r = Rays(o=o, d=d)
         hits = scene_ir.intersect_scene(scene, r, key, bounce,
-                                        mesh_backend=mesh_backend)
+                                        mesh_backend=mesh_backend,
+                                        rng_span=rng_span)
 
         miss = active & ~hits.hit
         bg = background_colour(scene, d)
@@ -121,7 +123,8 @@ def trace_diff(scene: scene_ir.SceneIR, rays: Rays, key: jax.Array,
                                     throughput * emit, 0.0)
 
         ok, atten, new_d = shade_ops.scatter(scene.materials, scene.textures,
-                                             r, hits, key, bounce)
+                                             r, hits, key, bounce,
+                                             span=rng_span)
         cont = hit_active & ok
         throughput = jnp.where(cont[..., None], throughput * atten,
                                throughput)

@@ -65,7 +65,13 @@ from .path import MAX_DEPTH, background_colour
 # cliff (the (P,8) unsort scatter leaves its fast path). 128k sits on the
 # plateau with the widest margin to both edges.
 DEFAULT_POOL = 1 << 17   # 131,072 lanes
-SAMPLE_CHUNK = 4         # samples of one pixel per work item
+SAMPLE_CHUNK = int(os.environ.get("HRT_SAMPLE_CHUNK", "4"))
+# RETIRE_CAP divisor: cap = pool // RETIRE_DIV rows scattered per
+# segment. Typical finishers/segment at the 128k pool are ~9k (pool /
+# ~3.5 segments-per-sample / chunk), so divisors up to 8 stay far from
+# the defer path; the three flat per-channel scatters scale with cap
+# (16 ns/row, PERF.md cost model). Swept round 4 — see PERF.md.
+RETIRE_DIV = int(os.environ.get("HRT_RETIRE_DIV", "4"))
 RR_START = 4             # bounces before Russian roulette begins
 RR_MIN_P = 0.05          # survival-probability floor
 _BIGI = 2 ** 30  # plain int: a module-level jnp array would
@@ -287,7 +293,7 @@ def _segment(state: PoolState, scene: scene_ir.SceneIR, width: int,
     # Collisions (two lanes retiring the same pixel) are legal scatter-add
     # semantics — no election needed. RETIRE_CAP bounds the scatter size;
     # overflow lanes keep the `defer` flag and retry next segment.
-    cap = min(max(pool // 4, 64), pool)
+    cap = min(max(pool // RETIRE_DIV, 64), pool)
     done = finished | state.defer
     skey = jnp.where(done, state.item % wh, _BIGI)
     order = jnp.argsort(skey).astype(jnp.int32)[:cap]

@@ -66,14 +66,15 @@ def make_camera(look_from, look_at, up, vfov_deg, aspect_ratio,
 
 
 def get_rays(cam: Camera, s: jnp.ndarray, t: jnp.ndarray,
-             key=None) -> Rays:
+             key=None, span=None) -> Rays:
     """Batched Camera::getRay (camera.h:32-39). s,t: (N,) in [0,1].
 
     Directions are intentionally NOT normalized (matches the reference; the
     integrator and intersections handle non-unit dirs the same way).
     """
     if cam.use_lens and key is not None:
-        rd = rng.in_disk(rng.stream(key, rng.LENS), s.shape) * cam.lens_radius
+        rd = (rng.in_disk(rng.stream(key, rng.LENS), s.shape, span)
+              * cam.lens_radius)
         offset = rd[..., 0:1] * cam.u + rd[..., 1:2] * cam.v
     else:
         offset = jnp.zeros(s.shape + (3,), jnp.float32)

@@ -127,7 +127,7 @@ def emitted(mats: MaterialTable, tab: tex_ops.TextureTable,
 
 
 def scatter(mats: MaterialTable, tab: tex_ops.TextureTable, rays: Rays,
-            hits: Hits, key: jax.Array, bounce) -> tuple:
+            hits: Hits, key: jax.Array, bounce, span=None) -> tuple:
     """Batched Material::scatter over the whole wavefront.
 
     Returns (did_scatter (N,) bool, attenuation (N,3), new_d (N,3)).
@@ -161,7 +161,8 @@ def scatter(mats: MaterialTable, tab: tex_ops.TextureTable, rays: Rays,
              if need_rough else jnp.zeros((n,), jnp.float32))
 
     # shared random draws (one stream per purpose per bounce)
-    sph = rng.unit_sphere(rng.stream(key, rng.SCATTER_SPHERE, bounce), (n,))
+    sph = rng.unit_sphere(rng.stream(key, rng.SCATTER_SPHERE, bounce), (n,),
+                          span)
 
     unit_d = mathx.normalize(rays.d)
     unit_n = (mathx.normalize(nrm, eps=1e-12)  # eps large enough that the
@@ -195,7 +196,7 @@ def scatter(mats: MaterialTable, tab: tex_ops.TextureTable, rays: Rays,
         # reflect/refract with rough offset; attenuation (1,1,1). Uses the
         # raw hit normal (reference passes rec.normal unnormalized).
         u_choice = rng.uniform(
-            rng.stream(key, rng.DIELECTRIC_CHOICE, bounce), (n,))
+            rng.stream(key, rng.DIELECTRIC_CHOICE, bounce), (n,), span)
         ior = _take(mats.ior, mid)
         ratio = jnp.where(hits.front_face, 1.0 / ior, ior)
         cos_t = jnp.minimum(mathx.dot(-unit_d, nrm), 1.0)
@@ -215,7 +216,8 @@ def scatter(mats: MaterialTable, tab: tex_ops.TextureTable, rays: Rays,
 
     if has_isotropic:
         # --- Isotropic (material.h:73-89): uniform-in-ball direction.
-        ball = rng.in_ball(rng.stream(key, rng.SCATTER_BALL, bounce), (n,))
+        ball = rng.in_ball(rng.stream(key, rng.SCATTER_BALL, bounce), (n,),
+                           span)
         sel = (mt == MAT_ISOTROPIC)
         new_d = jnp.where(sel[..., None], ball, new_d)
 

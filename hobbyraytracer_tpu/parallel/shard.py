@@ -215,25 +215,91 @@ def render_wavefront_sharded(scene, camera, width: int, height: int,
     return img.reshape(height, width, 3)
 
 
-def sharded_fit_step(params, rebuild, camera, width, height, key, n_samples,
-                     target, mesh: Mesh, opt, opt_state,
-                     max_depth: int = 6):
-    """One optimizer step with the loss/grad program partitioned over the
-    mesh: the pixel batch (inside render) shards over 'rays'; parameters
-    are replicated, so their gradient is an XLA all-reduce (psum) over the
-    mesh — the TPU equivalent of the reference's (nonexistent) gradient
-    communication, overlapped by XLA with the backward pass."""
-    from ..diff.fit import render_loss
+def sharded_render_loss(params, rebuild, camera, width, height, key,
+                        n_samples, target, mesh: Mesh, max_depth: int = 6,
+                        mesh_backend: str = "auto_diff"):
+    """The fit loss with the pixel batch split over the mesh by
+    shard_map: each device renders its OWN contiguous pixel slice with
+    the per-device differentiable integrator — including the
+    pallas_replay mesh find, which has no GSPMD partitioning rule and
+    therefore could not run under jit-partitioning (the round-3 pin to
+    the ~1.8x slower XLA find, PERF.md). Parameters are replicated; their
+    gradient under jax.grad is the psum of per-device contributions —
+    the gradient all-reduce rides ICI like any data-parallel trainer.
 
-    params = jax.device_put(params, NamedSharding(mesh, P()))
+    Every RNG draw inside the slice render is the full-image stream
+    sliced to the device's rows (diff/fit.py:render_linear_slice), so the
+    loss — and its gradients — are BIT-IDENTICAL to the single-device
+    render_loss regardless of mesh size (up to the psum's reduction
+    order). target: (W*H, 3), W*H divisible by the mesh size."""
+    import jax.numpy as jnp
+    from jax import shard_map
+
+    from ..diff.fit import _loss_from_image, render_linear_slice
+
+    n = mesh.devices.size
+    wh = width * height
+    if wh % n:
+        raise ValueError(f"{wh} pixels do not divide over {n} devices")
+    per = wh // n
+
+    def worker(p, t_l):
+        pix0 = jax.lax.axis_index(RAY_AXIS).astype(jnp.int32) * per
+        scene = rebuild(p)
+        img = render_linear_slice(scene, camera, width, height, key,
+                                  n_samples, pix0, per, max_depth,
+                                  mesh_backend=mesh_backend)
+        # local mean over the slice / n == this device's share of the
+        # global mean; psum reassembles the exact global loss
+        local = _loss_from_image(img, t_l) / n
+        return jax.lax.psum(local, RAY_AXIS)
+
+    # check_vma=False: the slice renderer's scan carries replicated-zero
+    # accumulators that become device-varying on the first iteration —
+    # same waiver as render_wavefront_sharded's drain loop
+    # the jit wrapper also makes eager calls work (shard_map bodies with
+    # remat'd scans can't be evaluated eagerly); under an outer jit it is
+    # a no-op inline
+    return jax.jit(shard_map(worker, mesh=mesh,
+                             in_specs=(P(), P(RAY_AXIS)), out_specs=P(),
+                             check_vma=False))(params, target)
+
+
+def make_sharded_fit_step(rebuild, camera, width, height, n_samples,
+                          target, mesh: Mesh, opt, max_depth: int = 6,
+                          mesh_backend: str = "auto_diff"):
+    """Build ONE jitted data-parallel fit step (compile once, call per
+    step): per-device shard_map render of the pixel slice (Pallas find
+    included — see sharded_render_loss), psum'd loss/grads, replicated
+    optimizer update. The TPU equivalent of a gradient all-reduce
+    trainer; the reference has no gradient communication at all
+    (SURVEY §2.3). Returns step(params, opt_state, key) ->
+    (params, opt_state, loss)."""
+    import optax
+
     target = jax.device_put(target, NamedSharding(mesh, P(RAY_AXIS)))
 
     def loss_fn(p, k):
-        return render_loss(p, rebuild, camera, width, height, k, n_samples,
-                           target, max_depth)
+        return sharded_render_loss(p, rebuild, camera, width, height, k,
+                                   n_samples, target, mesh, max_depth,
+                                   mesh_backend)
 
-    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params, key)
-    updates, opt_state = opt.update(grads, opt_state)
-    import optax
-    params = optax.apply_updates(params, updates)
-    return params, opt_state, loss
+    @jax.jit
+    def step(params, opt_state, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, key)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step
+
+
+def sharded_fit_step(params, rebuild, camera, width, height, key, n_samples,
+                     target, mesh: Mesh, opt, opt_state,
+                     max_depth: int = 6, mesh_backend: str = "auto_diff"):
+    """One-shot convenience wrapper around make_sharded_fit_step. For a
+    fit LOOP, build the step once with the factory — this wrapper
+    re-traces on every call (new closure, new jit cache entry)."""
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+    step = make_sharded_fit_step(rebuild, camera, width, height, n_samples,
+                                 target, mesh, opt, max_depth, mesh_backend)
+    return step(params, opt_state, key)

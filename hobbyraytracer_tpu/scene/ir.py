@@ -203,6 +203,40 @@ def _resolve_mesh_backend(backend: str, mesh: MeshGeom) -> Tuple[str, bool]:
     return "xla", False
 
 
+def refresh_kernel_tables(m: MeshGeom) -> MeshGeom:
+    """Recompute the Pallas find tables (tri_soa / bounds8 / cluster
+    bounds) from the mesh's LIVE vertex array, on device, inside jit.
+
+    The build-time tables snapshot the geometry, which is exactly right
+    for static meshes (the host pack avoids per-trace device gathers,
+    see MeshGeom.tri_soa) — but a VERTEX fit moves `verts` every
+    optimizer step, and a stale find would keep reporting hits where the
+    triangles used to be. Refreshing costs one (K,L,3)-row gather + SoA
+    transpose per fit STEP (~0.5 ms at teapot scale by the PERF.md cost
+    model: row-count-bound gathers at ~19 ns/row), which unpins vertex
+    fits from the ~2x slower lockstep XLA find (round-3 verdict #6).
+
+    The tables feed only the stop-gradiented FIND; everything
+    differentiable is replayed from the live verts afterwards
+    (ops/intersect.py:intersect_triangles_bvh, backend pallas_replay),
+    so stop_gradient here is correct, not an approximation."""
+    if not m.use_bvh or m.tri_soa is None:
+        return m
+    from ..kernels import mesh_traverse as kmod
+    v = jax.lax.stop_gradient(m.verts)
+    safe = jnp.maximum(m.cluster_id, 0)
+    corner = m.indices[safe]                          # (K,L,3)
+    pad = (m.cluster_id < 0)[..., None]               # (K,L,1)
+    tri_verts = jnp.where(pad[..., None], 0.0, v[corner])  # degenerate pad
+    # cluster bounds like the host build (scene/bvh.py): pad masked,
+    # boxes inflated +-1e-4 (aabb padding, triangle.cpp:42-55 semantics)
+    tmin = jnp.where(pad, BIG, tri_verts.min(axis=2)).min(axis=1) - 1e-4
+    tmax = jnp.where(pad, -BIG, tri_verts.max(axis=2)).max(axis=1) + 1e-4
+    soa = kmod.pack_mesh_soa(tri_verts, m.normals[corner], m.uvs[corner])
+    return m.replace(tri_soa=soa, bounds8=kmod.pack_bounds(tmin, tmax),
+                     cluster_bmin=tmin, cluster_bmax=tmax)
+
+
 def has_wavefront_sort_key(scene: "SceneIR") -> bool:
     """Static (trace-free) predicate: does wavefront_sort_key return a
     key for this scene? True iff some mesh instance resolves to the
@@ -392,7 +426,7 @@ def _mesh_first_t(m: MeshGeom, r: Rays, t_max):
 
 
 def _intersect_medium(med: Medium, rays: Rays, key, bounce, med_index: int,
-                      t_min, t_max) -> Hits:
+                      t_min, t_max, span=None) -> Hits:
     """ConstantMedium::hit vectorized (constantMedium.cpp:4-38):
     two boundary hits -> clamp to [t_min, t_max] -> exponential free-flight
     -> scatter point if within the span."""
@@ -406,7 +440,7 @@ def _intersect_medium(med: Medium, rays: Rays, key, bounce, med_index: int,
     ray_len = mathx.length(rays.d)  # world-units parameterization
     dist_inside = (t2 - t1) * ray_len
     u = rng.uniform(rng.stream(key, rng.MEDIUM_FLIGHT,
-                               bounce * 131 + med_index), t1.shape)
+                               bounce * 131 + med_index), t1.shape, span)
     hit_dist = med.neg_inv_density * jnp.log(jnp.maximum(u, 1e-37))
     valid &= hit_dist <= dist_inside
     t = t1 + hit_dist / ray_len
@@ -425,7 +459,8 @@ def _intersect_medium(med: Medium, rays: Rays, key, bounce, med_index: int,
 
 def intersect_scene(scene: SceneIR, rays: Rays, key, bounce,
                     t_min=mathx.T_MIN, ray_valid=None,
-                    mesh_backend: str = "xla", mesh_cohsort=None) -> Hits:
+                    mesh_backend: str = "xla", mesh_cohsort=None,
+                    rng_span=None) -> Hits:
     """Closest hit against the whole scene (vectorized HittableList::hit).
 
     Solids are evaluated independently and min-merged (equivalent to the
@@ -460,5 +495,5 @@ def intersect_scene(scene: SceneIR, rays: Rays, key, bounce,
                                                 need_uv=need_uv))
     for i, med in enumerate(scene.media):
         best = closer(best, _intersect_medium(med, rays, key, bounce, i,
-                                              t_min, best.t))
+                                              t_min, best.t, rng_span))
     return best

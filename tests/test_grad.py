@@ -272,3 +272,49 @@ def test_pallas_replay_grads_match_xla():
         np.testing.assert_allclose(np.asarray(gp["materials"][f]),
                                    np.asarray(gx["materials"][f]),
                                    rtol=2e-3, atol=2e-5, err_msg=f)
+
+
+def test_pallas_replay_vertex_grads_with_moving_verts():
+    """Round-3 verdict #6: vertex fits were pinned to the XLA find
+    because the build-time kernel tables could not see moving vertices.
+    rebuild() now refreshes tri_soa/bounds8 from the live verts
+    (ir.refresh_kernel_tables), so with the vertices MOVED well away
+    from the build-time geometry the Pallas find must still agree with
+    the XLA find — loss AND vertex gradients."""
+    from hobbyraytracer_tpu.diff.fit import (render_linear, render_loss,
+                                             select_params)
+    from hobbyraytracer_tpu.scene.fixtures import ensure_assets
+
+    ensure_assets()
+    job = build_scene(load_scene_desc(os.path.join(SCENES,
+                                                   "shiny_teapot.yaml")))
+    # bilinear env lookups give the smooth direction-dependence that
+    # makes metal-reflection vertex grads nonzero (nearest-neighbor is
+    # piecewise constant: zero a.e.)
+    scene = job.scene.replace(
+        textures=job.scene.textures.replace(bilinear=True))
+    w = h = 16
+    key = jax.random.PRNGKey(5)
+    target = render_linear(scene, job.camera, w, h,
+                           jax.random.PRNGKey(9), 1, 3)
+    params, rebuild = select_params(scene, fit_vertices=True)
+    # move the whole mesh: a stale build-time find would still report
+    # hits at the OLD location and the two backends would diverge hard
+    params["verts"] = [v + jnp.asarray([0.6, -0.4, 0.5])
+                       for v in params["verts"]]
+
+    def loss(p, backend):
+        return render_loss(p, rebuild, job.camera, w, h, key, 1, target,
+                           3, mesh_backend=backend)
+
+    lx, gx = jax.value_and_grad(loss)(params, "xla")
+    os.environ["HRT_PALLAS_INTERPRET"] = "1"
+    try:
+        lp, gp = jax.value_and_grad(loss)(params, "auto_diff")
+    finally:
+        del os.environ["HRT_PALLAS_INTERPRET"]
+    np.testing.assert_allclose(float(lp), float(lx), rtol=1e-4)
+    vx = np.asarray(gx["verts"][0])
+    vp = np.asarray(gp["verts"][0])
+    assert np.abs(vx).max() > 0  # vertices actually receive gradient
+    np.testing.assert_allclose(vp, vx, rtol=2e-3, atol=2e-5)
