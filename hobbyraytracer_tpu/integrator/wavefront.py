@@ -67,11 +67,14 @@ from .path import MAX_DEPTH, background_colour
 DEFAULT_POOL = 1 << 17   # 131,072 lanes
 SAMPLE_CHUNK = int(os.environ.get("HRT_SAMPLE_CHUNK", "4"))
 # RETIRE_CAP divisor: cap = pool // RETIRE_DIV rows scattered per
-# segment. Typical finishers/segment at the 128k pool are ~9k (pool /
-# ~3.5 segments-per-sample / chunk), so divisors up to 8 stay far from
-# the defer path; the three flat per-channel scatters scale with cap
-# (16 ns/row, PERF.md cost model). Swept round 4 — see PERF.md.
-RETIRE_DIV = int(os.environ.get("HRT_RETIRE_DIV", "4"))
+# segment. The three flat per-channel scatters scale with cap (16 ns/
+# row, PERF.md cost model), so the cap wants to sit JUST above the
+# typical finishers/segment (~9k at the 128k pool: pool / ~3.5
+# segments-per-sample / chunk). Round-4 sweep on the chip: teapot
+# 4.31/4.64/4.69/4.30/3.24 M rays/s and cornell 17.2/—/29.4/27.7/20.8 M
+# at divisors 4/8/12/16/24 — beyond 12 the defer path (extra segments)
+# eats the scatter saving. Floor of 64 keeps tiny pools exact.
+RETIRE_DIV = int(os.environ.get("HRT_RETIRE_DIV", "12"))
 RR_START = 4             # bounces before Russian roulette begins
 RR_MIN_P = 0.05          # survival-probability floor
 _BIGI = 2 ** 30  # plain int: a module-level jnp array would
