@@ -69,6 +69,8 @@ BLOCK = int(os.environ.get("HRT_BLOCK", "1024"))
 # blows the 16 MB scoped-vmem limit (measured), 2048 fits comfortably.
 KEY_BLOCK = int(os.environ.get("HRT_KEY_BLOCK", "2048"))
 SOA_ROWS = 24        # v0,e1,e2 (9) + n0,n1,n2 (9) + uv0,uv1,uv2 (6)
+# winner-pick via MXU matmuls instead of VPU one-hot reductions
+MXU_PICK = os.environ.get("HRT_MXU_PICK", "1") != "0"
 # Total scoped-VMEM budget the kernel may plan against (the hardware
 # limit is 16 MB; leave slack for Mosaic's own staging buffers).
 VMEM_BUDGET_BYTES = 14 * 1024 * 1024
@@ -199,18 +201,48 @@ def _kernel(rays_ref, bounds_ref, tri_ref, id_ref,
         # scene samples a texture (need_uv=False saves ~2 (B,L) picks and
         # 10 interp ops per visit)
         w0 = 1.0 - u - v
-        nx = w0 * blk[9:10, :] + u * blk[12:13, :] + v * blk[15:16, :]
-        ny = w0 * blk[10:11, :] + u * blk[13:14, :] + v * blk[16:17, :]
-        nz = w0 * blk[11:12, :] + u * blk[14:15, :] + v * blk[17:18, :]
-        if need_uv:
-            uu = w0 * blk[18:19, :] + u * blk[20:21, :] + v * blk[22:23, :]
-            vv = w0 * blk[19:20, :] + u * blk[21:22, :] + v * blk[23:24, :]
-            uv_cols = [pick(uu), pick(vv)]
+        if MXU_PICK:
+            # pack interpolation + winner-pick into 3 small matmuls:
+            # out[b,a] = sum_l hot*(w0*A0[a]+u*A1[a]+v*A2[a]) — the
+            # contraction over the L=128 lane axis rides the MXU while
+            # the VPU works the next visit's Moller-Trumbore (measured
+            # round 4, PERF.md)
+            hotf = hot.astype(jnp.float32)
+            if need_uv:
+                a0 = jnp.concatenate([blk[9:12, :], blk[18:20, :]], 0)
+                a1 = jnp.concatenate([blk[12:15, :], blk[20:22, :]], 0)
+                a2 = jnp.concatenate([blk[15:18, :], blk[22:24, :]], 0)
+            else:
+                a0, a1, a2 = blk[9:12, :], blk[12:15, :], blk[15:18, :]
+
+            def mm(w_bl, a_rl):                  # (B,L)x(A,L) -> (B,A)
+                return jax.lax.dot_general(
+                    w_bl, a_rl, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            attr = (mm(hotf * w0, a0) + mm(hotf * u, a1)
+                    + mm(hotf * v, a2))          # (B, 5|3)
+            pad_w = 2 if need_uv else 4
+            cand = jnp.concatenate(
+                [t_min, attr, jnp.zeros((b, pad_w), jnp.float32)], axis=1)
         else:
-            uv_cols = [jnp.zeros((b, 2), jnp.float32)]
-        cand = jnp.concatenate(
-            [t_min, pick(nx), pick(ny), pick(nz)] + uv_cols
-            + [jnp.zeros((b, 2), jnp.float32)], axis=1)      # (B,8)
+            nx = (w0 * blk[9:10, :] + u * blk[12:13, :]
+                  + v * blk[15:16, :])
+            ny = (w0 * blk[10:11, :] + u * blk[13:14, :]
+                  + v * blk[16:17, :])
+            nz = (w0 * blk[11:12, :] + u * blk[14:15, :]
+                  + v * blk[17:18, :])
+            if need_uv:
+                uu = (w0 * blk[18:19, :] + u * blk[20:21, :]
+                      + v * blk[22:23, :])
+                vv = (w0 * blk[19:20, :] + u * blk[21:22, :]
+                      + v * blk[23:24, :])
+                uv_cols = [pick(uu), pick(vv)]
+            else:
+                uv_cols = [jnp.zeros((b, 2), jnp.float32)]
+            cand = jnp.concatenate(
+                [t_min, pick(nx), pick(ny), pick(nz)] + uv_cols
+                + [jnp.zeros((b, 2), jnp.float32)], axis=1)  # (B,8)
         id_win = jnp.sum(jnp.where(hot, ids, 0), axis=1,
                          keepdims=True)                       # (B,1)
         fb[:] = jnp.where(take, cand, fb[:])
