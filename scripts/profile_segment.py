@@ -163,7 +163,7 @@ def main():
                  timeit(shade, hits, state.o, state.d)))
 
     wh = w * h
-    cap = min(max(pool // 4, 64), pool)
+    cap = min(max(pool // wavefront.RETIRE_DIV, 64), pool)
 
     @jax.jit
     def retire(item, done, fb, rad):
