@@ -17,6 +17,11 @@ practical interchange:
                    WITHOUT node transforms — exactly the reference's
                    behavior of reading scene->mMeshes directly
                    (mesh.cpp:63-115); bake transforms upstream if needed.
+- .dae             COLLADA 1.4/1.5 <triangles>/<polylist> (fan-
+                   triangulated), per-corner expanded, Z_UP honored,
+                   node transforms NOT applied (matching the glTF rule)
+- .3ds             Autodesk 3DS chunk format: vertex/face/UV chunks of
+                   every object, Z-up rotated to Y-up, faceted normals
 
 All loaders return the same dict as parse_obj (verts/normals/uvs/indices,
 float32/int32), V texture coordinate flipped like assimp FlipUVs, missing
@@ -50,6 +55,17 @@ def load_mesh(path: str) -> dict:
             return parse_stl(path)
         if ext in (".gltf", ".glb"):
             return parse_gltf(path)
+        if ext == ".dae":
+            return parse_dae(path)
+        if ext == ".3ds":
+            return parse_3ds(path)
+        if ext in (".fbx", ".blend", ".x3d"):
+            # fail loudly rather than mis-parse as OBJ; the reference
+            # accepts these via assimp (mesh.cpp:56) — export to one of
+            # the supported interchange formats instead
+            raise ValueError(
+                f"unsupported mesh format {ext}: {path} (supported: "
+                ".obj .ply .stl .gltf .glb .dae .3ds)")
         # default: OBJ (also covers extensionless paths, like the
         # reference's assimp which sniffs content)
         return objloader.parse_obj(path)
@@ -359,3 +375,199 @@ def parse_gltf(path: str) -> dict:
     return _finish(np.concatenate(all_v), np.concatenate(all_n),
                    np.concatenate(all_uv),
                    np.concatenate(all_idx).astype(np.int32), path)
+
+
+# ----------------------------------------------------------------- Collada
+
+_DAE_NS = "{http://www.collada.org/2005/11/COLLADASchema}"
+
+
+def _dae_floats(el):
+    if not el.text or not el.text.strip():
+        return np.zeros(0, np.float32)
+    return np.asarray(el.text.split(), dtype=np.float32)
+
+
+def parse_dae(path: str) -> dict:
+    """COLLADA 1.4/1.5 triangle geometry: <triangles> and all-3 <polylist>
+    primitives from every <geometry>, per-corner expanded (multi-offset
+    COLLADA indices address position/normal/uv streams independently, so
+    corners cannot be shared; scene/build.py's corner dedup re-shares
+    identical ones). Honors <up_axis>Z_UP</up_axis> by rotating into the
+    renderer's Y-up frame like assimp's converter; V flipped (FlipUVs)."""
+    import xml.etree.ElementTree as ET
+    ns = _DAE_NS
+    root = ET.parse(path).getroot()
+    z_up = any(u.text and u.text.strip().upper() == "Z_UP"
+               for u in root.iter(ns + "up_axis"))
+
+    all_v, all_n, all_uv = [], [], []
+    for geom in root.iter(ns + "geometry"):
+        mesh = geom.find(ns + "mesh")
+        if mesh is None:
+            continue
+        sources = {}
+        for src in mesh.findall(ns + "source"):
+            arr = src.find(ns + "float_array")
+            acc = src.find(f"{ns}technique_common/{ns}accessor")
+            stride = int(acc.get("stride", "1")) if acc is not None else 3
+            if arr is not None:
+                sources["#" + src.get("id")] = (
+                    _dae_floats(arr).reshape(-1, stride))
+        vert_map = {}
+        for v_el in mesh.findall(ns + "vertices"):
+            pos = None
+            for inp in v_el.findall(ns + "input"):
+                if inp.get("semantic") == "POSITION":
+                    pos = inp.get("source")
+            vert_map["#" + v_el.get("id")] = pos
+        for prim in (list(mesh.findall(ns + "triangles"))
+                     + list(mesh.findall(ns + "polylist"))):
+            inputs = []  # (offset, semantic, source_key)
+            max_off = 0
+            for inp in prim.findall(ns + "input"):
+                off = int(inp.get("offset", "0"))
+                sem = inp.get("semantic")
+                srck = inp.get("source")
+                if sem == "VERTEX":
+                    srck = vert_map.get(srck, srck)
+                    sem = "POSITION"
+                inputs.append((off, sem, srck))
+                max_off = max(max_off, off)
+            stride = max_off + 1
+            p_el = prim.find(ns + "p")
+            if p_el is None or not p_el.text:
+                continue
+            p = np.asarray(p_el.text.split(), dtype=np.int64)
+            p = p.reshape(-1, stride)
+            vc_el = prim.find(ns + "vcount")
+            if vc_el is not None and vc_el.text:
+                vcount = np.asarray(vc_el.text.split(), dtype=np.int64)
+                if not (vcount == 3).all():
+                    # fan-triangulate arbitrary polygons (assimp's
+                    # Triangulate post-process, mesh.cpp:56)
+                    corners = []
+                    at = 0
+                    for c in vcount:
+                        poly = p[at:at + c]
+                        for k in range(1, int(c) - 1):
+                            corners += [poly[0], poly[k], poly[k + 1]]
+                        at += int(c)
+                    p = np.stack(corners)
+            n_corners = len(p) - len(p) % 3
+            p = p[:n_corners]
+            v = n = uv = None
+            for off, sem, srck in inputs:
+                data = sources.get(srck)
+                if data is None:
+                    continue
+                idx = p[:, off]
+                if sem == "POSITION":
+                    v = data[idx, :3]
+                elif sem == "NORMAL":
+                    n = data[idx, :3]
+                elif sem == "TEXCOORD" and uv is None:
+                    uv = data[idx, :2]
+            if v is None or len(v) == 0:
+                continue
+            if n is None:
+                n = _faceted_normals(v)
+            if uv is None:
+                uv = np.zeros((len(v), 2), np.float32)
+            else:
+                uv = np.stack([uv[:, 0], 1.0 - uv[:, 1]], axis=1)
+            all_v.append(v.astype(np.float32))
+            all_n.append(n.astype(np.float32))
+            all_uv.append(uv.astype(np.float32))
+    if not all_v:
+        raise ValueError(f"no triangle geometry in COLLADA file: {path}")
+    v = np.concatenate(all_v)
+    n = np.concatenate(all_n)
+    uv = np.concatenate(all_uv)
+    if z_up:  # Z-up -> Y-up: (x, y, z) -> (x, z, -y), like assimp
+        v = np.stack([v[:, 0], v[:, 2], -v[:, 1]], axis=1)
+        n = np.stack([n[:, 0], n[:, 2], -n[:, 1]], axis=1)
+    idx = np.arange(len(v), dtype=np.int32).reshape(-1, 3)
+    return {"verts": v, "normals": n, "uvs": uv, "indices": idx}
+
+
+def _faceted_normals(corner_verts):
+    """Per-face geometric normals replicated to the 3 corners (the STL
+    loader's convention for normal-less sources)."""
+    tri = corner_verts.reshape(-1, 3, 3)
+    fn = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    ln = np.linalg.norm(fn, axis=1, keepdims=True)
+    fn = fn / np.where(ln == 0, 1.0, ln)
+    return np.repeat(fn, 3, axis=0).astype(np.float32)
+
+
+# -------------------------------------------------------------------- 3DS
+
+def parse_3ds(path: str) -> dict:
+    """Autodesk 3DS: 0x4D4D -> 0x3D3D -> 0x4000(object) -> 0x4100(mesh)
+    chunks — vertex list 0x4110, face list 0x4120, UVs 0x4140. All
+    objects concatenated (mesh.cpp:63-115 semantics). 3DS is Z-up:
+    rotated into Y-up like assimp; faceted normals (3DS stores none);
+    V flipped (FlipUVs)."""
+    data = open(path, "rb").read()
+    if len(data) < 6 or struct.unpack_from("<H", data, 0)[0] != 0x4D4D:
+        raise ValueError(f"not a 3DS file: {path}")
+
+    all_v, all_uv, all_idx = [], [], []
+
+    def walk(start, end):
+        pos = start
+        while pos + 6 <= end:
+            cid, clen = struct.unpack_from("<HI", data, pos)
+            if clen < 6 or pos + clen > end:
+                raise ValueError(f"corrupt 3DS chunk at {pos} in {path}")
+            body = pos + 6
+            if cid in (0x4D4D, 0x3D3D):
+                walk(body, pos + clen)
+            elif cid == 0x4000:  # object: name (cstr) then subchunks
+                z = data.index(b"\0", body)
+                walk(z + 1, pos + clen)
+            elif cid == 0x4100:
+                _mesh_chunk(body, pos + clen)
+            pos += clen
+
+    def _mesh_chunk(start, end):
+        verts = uvs = faces = None
+        pos = start
+        while pos + 6 <= end:
+            cid, clen = struct.unpack_from("<HI", data, pos)
+            body = pos + 6
+            if cid == 0x4110:
+                n = struct.unpack_from("<H", data, body)[0]
+                verts = np.frombuffer(data, "<f4", n * 3, body + 2
+                                      ).reshape(-1, 3)
+            elif cid == 0x4140:
+                n = struct.unpack_from("<H", data, body)[0]
+                uvs = np.frombuffer(data, "<f4", n * 2, body + 2
+                                    ).reshape(-1, 2)
+            elif cid == 0x4120:
+                n = struct.unpack_from("<H", data, body)[0]
+                f = np.frombuffer(data, "<u2", n * 4, body + 2
+                                  ).reshape(-1, 4)
+                faces = f[:, :3].astype(np.int64)
+            pos += clen
+        if verts is None or faces is None or len(faces) == 0:
+            return
+        v = verts[faces.reshape(-1)]
+        uv = (uvs[faces.reshape(-1)] if uvs is not None and
+              len(uvs) == len(verts)
+              else np.zeros((len(v), 2), np.float32))
+        all_v.append(v)
+        all_uv.append(uv)
+
+    walk(0, len(data))
+    if not all_v:
+        raise ValueError(f"no mesh chunks in 3DS file: {path}")
+    v = np.concatenate(all_v).astype(np.float32)
+    uv = np.concatenate(all_uv).astype(np.float32)
+    # Z-up -> Y-up, then faceted normals in the TARGET frame
+    v = np.stack([v[:, 0], v[:, 2], -v[:, 1]], axis=1)
+    n = _faceted_normals(v)
+    uv = np.stack([uv[:, 0], 1.0 - uv[:, 1]], axis=1)
+    idx = np.arange(len(v), dtype=np.int32).reshape(-1, 3)
+    return {"verts": v, "normals": n, "uvs": uv, "indices": idx}

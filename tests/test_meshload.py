@@ -243,3 +243,91 @@ def test_gltf_normalized_uv_and_sparse_rejected(quad, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="sparse"):
         meshload.load_mesh(str(p2))
+
+
+def test_dae_triangles_and_polylist(tmp_path):
+    """COLLADA: <triangles> with POSITION/NORMAL/TEXCOORD inputs at
+    distinct offsets, Z_UP conversion, V flip, and polylist quad fan-
+    triangulation."""
+    dae = """<?xml version="1.0"?>
+<COLLADA xmlns="http://www.collada.org/2005/11/COLLADASchema" version="1.4.1">
+  <asset><up_axis>Z_UP</up_axis></asset>
+  <library_geometries>
+    <geometry id="g"><mesh>
+      <source id="pos"><float_array id="pa" count="12">
+        0 0 0  1 0 0  1 1 0  0 1 0</float_array>
+        <technique_common><accessor source="#pa" count="4" stride="3">
+          <param name="X" type="float"/><param name="Y" type="float"/>
+          <param name="Z" type="float"/></accessor></technique_common>
+      </source>
+      <source id="nrm"><float_array id="na" count="3">0 0 1</float_array>
+        <technique_common><accessor source="#na" count="1" stride="3"/>
+        </technique_common></source>
+      <source id="uv"><float_array id="ua" count="8">
+        0 0  1 0  1 1  0 1</float_array>
+        <technique_common><accessor source="#ua" count="4" stride="2"/>
+        </technique_common></source>
+      <vertices id="vv"><input semantic="POSITION" source="#pos"/></vertices>
+      <polylist count="1">
+        <input semantic="VERTEX" source="#vv" offset="0"/>
+        <input semantic="NORMAL" source="#nrm" offset="1"/>
+        <input semantic="TEXCOORD" source="#uv" offset="2"/>
+        <vcount>4</vcount>
+        <p>0 0 0  1 0 1  2 0 2  3 0 3</p>
+      </polylist>
+    </mesh></geometry>
+  </library_geometries>
+</COLLADA>"""
+    p = tmp_path / "quad.dae"
+    p.write_text(dae)
+    m = meshload.load_mesh(str(p))
+    assert m["indices"].shape == (2, 3)      # quad fan -> 2 triangles
+    assert m["verts"].shape == (6, 3)        # per-corner expanded
+    # Z_UP: source (x, y, 0) -> (x, 0, -y); all corners land in y=0
+    np.testing.assert_allclose(m["verts"][:, 1], 0.0, atol=1e-6)
+    assert set(np.round(m["verts"][:, 2], 3)) <= {0.0, -1.0}
+    # normal (0,0,1) -> (0,1,0)
+    np.testing.assert_allclose(m["normals"][0], [0, 1, 0], atol=1e-6)
+    # V flipped
+    uv0 = m["uvs"][0]
+    np.testing.assert_allclose(uv0, [0.0, 1.0], atol=1e-6)
+
+
+def test_3ds_roundtrip(tmp_path):
+    """3DS binary chunks: one object, 4 verts / 2 faces / UVs; Z-up to
+    Y-up rotation, faceted normals, V flip."""
+    verts = np.asarray([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]],
+                       np.float32)
+    uvs = np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    faces = np.asarray([[0, 1, 2], [0, 2, 3]], np.uint16)
+
+    def chunk(cid, payload):
+        return struct.pack("<HI", cid, 6 + len(payload)) + payload
+
+    c4110 = chunk(0x4110, struct.pack("<H", 4) + verts.tobytes())
+    c4140 = chunk(0x4140, struct.pack("<H", 4) + uvs.tobytes())
+    f4 = np.concatenate([faces, np.zeros((2, 1), np.uint16)], axis=1)
+    c4120 = chunk(0x4120, struct.pack("<H", 2) + f4.astype("<u2").tobytes())
+    c4100 = chunk(0x4100, c4110 + c4140 + c4120)
+    c4000 = chunk(0x4000, b"obj\0" + c4100)
+    c3d3d = chunk(0x3D3D, c4000)
+    data = chunk(0x4D4D, c3d3d)
+    p = tmp_path / "q.3ds"
+    p.write_bytes(data)
+    m = meshload.load_mesh(str(p))
+    assert m["indices"].shape == (2, 3)
+    assert m["verts"].shape == (6, 3)
+    # Z-up plane z=0 -> y=0 plane
+    np.testing.assert_allclose(m["verts"][:, 1], 0.0, atol=1e-6)
+    # faceted normals unit-length
+    np.testing.assert_allclose(np.linalg.norm(m["normals"], axis=1), 1.0,
+                               atol=1e-5)
+    np.testing.assert_allclose(m["uvs"][0], [0.0, 1.0], atol=1e-6)
+
+
+def test_unsupported_format_fails_loudly(tmp_path):
+    import pytest
+    p = tmp_path / "model.fbx"
+    p.write_bytes(b"Kaydara FBX Binary  \x00")
+    with pytest.raises(ValueError, match="unsupported mesh format"):
+        meshload.load_mesh(str(p))
