@@ -30,6 +30,7 @@ def _progress(done: int, total: int) -> None:
 def cmd_render(args) -> int:
     t_start = time.time()
     import jax
+    import jax.numpy as jnp  # noqa: F401  (async checkpoint snapshot)
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -94,11 +95,33 @@ def cmd_render(args) -> int:
                 print(f"Resumed checkpoint: {args.checkpoint} "
                       f"({done} samples done)")
             last_ck = [time.time()]
+            ck_thread = [None]
+
+            def _write(snap):
+                ckpt.save_state(args.checkpoint, snap, meta=meta)
 
             def ckpt_cb(s):
-                if time.time() - last_ck[0] >= args.checkpoint_every:
-                    ckpt.save_state(args.checkpoint, s, meta=meta)
-                    last_ck[0] = time.time()
+                # ASYNC checkpointing: the device->host fetch rides a
+                # (possibly slow) transport and would otherwise
+                # serialize the render for its whole duration. Snapshot
+                # the state on DEVICE (cheap HBM copy — the live buffers
+                # are donated to the next chunk and must not be read
+                # concurrently), then fetch+write on a worker thread
+                # overlapped with the next render chunks. If a save is
+                # still in flight at the next cadence tick, skip — the
+                # following tick retries with fresher state.
+                import threading
+
+                if time.time() - last_ck[0] < args.checkpoint_every:
+                    return
+                t = ck_thread[0]
+                if t is not None and t.is_alive():
+                    return
+                snap = jax.tree.map(jnp.copy, s)
+                ck_thread[0] = threading.Thread(target=_write,
+                                                args=(snap,), daemon=False)
+                ck_thread[0].start()
+                last_ck[0] = time.time()
         if n_dev > 1:
             # multi-chip: one drain loop per device over its item slice,
             # chunked on the host so progress + checkpoint/resume work
@@ -118,6 +141,8 @@ def cmd_render(args) -> int:
                 pool=args.pool or wavefront.DEFAULT_POOL,
                 progress_cb=progress_cb, state=state, checkpoint_cb=ckpt_cb,
                 rr=not args.no_rr)
+        if args.checkpoint and ck_thread[0] is not None:
+            ck_thread[0].join()  # never exit with a half-written file
         img = np.asarray(img)
     else:
         chunk = args.chunk
