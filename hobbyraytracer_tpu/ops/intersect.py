@@ -415,6 +415,51 @@ def pack_coherence_key(e_min, first, k_clusters: int):
                      jnp.int32(k_clusters) * (e_lvls + 1))
 
 
+def cheap_coherence_key(o, d, valid, bounds8, t_max):
+    """Keys-kernel-free coherence key (round 4): the Pallas keys kernel
+    costs ~1.1 ms/segment at the 128k pool — nearly half the traversal
+    it serves — because it slab-tests every ray against every cluster
+    just to ORDER the sort. This key keeps the two properties that
+    matter at ~0.1 ms of dense VPU math:
+
+    - rays that cannot hit the mesh AT ALL (one slab test against the
+      ROOT box = union of cluster bounds) sort last, so whole blocks of
+      missers still exit the traversal kernel after zero visits;
+    - potential hitters group by (direction octant, 15-bit Morton cell
+      of the origin): rays starting near each other and heading the
+      same way enter the same clusters, which is what block-level
+      early-out actually needs — the exact nearest-cluster id was
+      always just a locality proxy.
+    """
+    bmin = bounds8[:3, :].min(axis=1)           # (3,) root box
+    bmax = bounds8[3:6, :].max(axis=1)
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
+    t0 = (bmin[None, :] - o) * inv
+    t1 = (bmax[None, :] - o) * inv
+    lo = jnp.max(jnp.minimum(t0, t1), axis=1)
+    hi = jnp.min(jnp.maximum(t0, t1), axis=1)
+    entry = jnp.maximum(lo, 0.0)
+    could_hit = (hi > entry) & (entry < t_max) & valid
+
+    q = jnp.clip((o - bmin[None, :]) / jnp.maximum(bmax - bmin, 1e-30),
+                 0.0, 1.0)
+    cell = (q * 31.0).astype(jnp.int32)          # 5 bits/axis
+
+    def spread(x):                               # abcde -> a00b00c00d00e
+        x = (x | (x << 8)) & 0x100F
+        x = (x | (x << 4)) & 0x10C3
+        x = (x | (x << 2)) & 0x1249
+        return x
+
+    morton = (spread(cell[:, 0]) | (spread(cell[:, 1]) << 1)
+              | (spread(cell[:, 2]) << 2))       # 15 bits
+    octant = ((d[:, 0] > 0).astype(jnp.int32)
+              | ((d[:, 1] > 0).astype(jnp.int32) << 1)
+              | ((d[:, 2] > 0).astype(jnp.int32) << 2))
+    key = (octant << 15) | morton
+    return jnp.where(could_hit, key, jnp.int32(1 << 20))
+
+
 def _tri_soa(tri_verts):
     """(K, L, 3, 3) leaf vertices -> Moller-Trumbore SoA (K, 9, L):
     [v0, e1=v1-v0, e2=v2-v0] with triangles on the minor (lane) axis so
@@ -610,11 +655,15 @@ def intersect_mesh_clustered_pallas(rays: Rays, tri_verts, tri_id, bmin,
         # reduction). The reference gets this "for free" from per-ray
         # recursion. HRT_NO_COHSORT=1 disables (the two argsorts +
         # gathers can rival the savings on small scenes).
-        e_min, first = kmod.coherence_keys_pallas(
-            rays8.reshape(-1, kmod.KEY_BLOCK, 8), bounds8,
-            t_max=float(t_max), interpret=interpret)
-        sort_key = pack_coherence_key(e_min.reshape(-1), first.reshape(-1),
-                                      k_clusters)
+        if os.environ.get("HRT_KEY_MODE", "cheap") == "cheap":
+            sort_key = cheap_coherence_key(o, d, valid, bounds8,
+                                           float(t_max))
+        else:
+            e_min, first = kmod.coherence_keys_pallas(
+                rays8.reshape(-1, kmod.KEY_BLOCK, 8), bounds8,
+                t_max=float(t_max), interpret=interpret)
+            sort_key = pack_coherence_key(e_min.reshape(-1),
+                                          first.reshape(-1), k_clusters)
         perm = jnp.argsort(sort_key)
         rays8 = rays8[perm]
 
