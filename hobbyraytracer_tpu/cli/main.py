@@ -215,6 +215,31 @@ def cmd_fit(args) -> int:
         albedo=jnp.clip(job.scene.materials.albedo * 0.3 + 0.3, 0, 1),
         roughness=jnp.clip(job.scene.materials.roughness + 0.4, 0, 1)))
 
+    n_dev = len(jax.devices())
+    if (n_dev > 1 and not args.fit_vertices and not args.boundary
+            and (w * h) % n_dev == 0):
+        # multi-chip: data-parallel fit via shard_map (per-device pixel
+        # slices, Pallas find, psum'd grads) — bitwise-equal loss to the
+        # single-device path (parallel/shard.py:sharded_render_loss)
+        import optax
+
+        from ..parallel.shard import make_mesh, make_sharded_fit_step
+        p0, rebuild = select_params(perturbed)
+        opt = optax.adam(2e-2)
+        opt_state = opt.init(p0)
+        step = make_sharded_fit_step(rebuild, job.camera, w, h, args.spp,
+                                     target, make_mesh(n_dev), opt,
+                                     max_depth=args.max_depth)
+        losses = []
+        for i in range(args.steps):
+            p0, opt_state, loss = step(p0, opt_state, key)
+            losses.append(float(loss))
+            if i % max(1, args.steps // 10) == 0 or i == args.steps - 1:
+                print(f"fit step {i}: loss {losses[-1]:.6f} "
+                      f"({n_dev}-device mesh)")
+        print(f"final loss: {losses[-1]:.6f} (start {losses[0]:.6f})")
+        return 0 if losses[-1] < losses[0] else 1
+
     res = fit_materials(perturbed, job.camera, target, w, h,
                         steps=args.steps, n_samples=args.spp,
                         max_depth=args.max_depth, key=key,

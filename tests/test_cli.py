@@ -65,3 +65,23 @@ def test_multidevice_checkpoint_resume_cli(tmp_path, capsys):
     rc = main(args + ["--resume"])
     assert rc == 1
     assert "Resumed checkpoint" in capsys.readouterr().out
+
+
+def test_cli_fit_multidevice_branch(capsys):
+    """cmd_fit on the 8-virtual-device conftest mesh takes the shard_map
+    data-parallel branch (w*h divisible by the device count) and the
+    loss matches the single-device fit's trajectory (the sharded loss is
+    bitwise mesh-size-invariant)."""
+    from hobbyraytracer_tpu.cli.main import main
+    from hobbyraytracer_tpu.scene.fixtures import ensure_assets
+
+    ensure_assets()
+    rc = main(["fit", os.path.join(SCENES, "shiny_teapot.yaml"),
+               "--steps", "3", "--spp", "1", "--max-depth", "3",
+               "--width", "24", "--height", "24"])
+    out = capsys.readouterr().out
+    assert "8-device mesh" in out
+    assert rc == 0
+    import re
+    losses = [float(x) for x in re.findall(r"loss (\d+\.\d+)", out)]
+    assert losses and losses[-1] < losses[0]
