@@ -22,6 +22,10 @@ practical interchange:
                    node transforms NOT applied (matching the glTF rule)
 - .3ds             Autodesk 3DS chunk format: vertex/face/UV chunks of
                    every object, Z-up rotated to Y-up, faceted normals
+- .fbx             FBX 7.x binary: Geometry Vertices/PolygonVertexIndex
+                   (fan-triangulated), ByPolygonVertex/ByVertice normal
+                   and UV layers, zlib-compressed arrays; ASCII FBX and
+                   node transforms are not handled
 
 All loaders return the same dict as parse_obj (verts/normals/uvs/indices,
 float32/int32), V texture coordinate flipped like assimp FlipUVs, missing
@@ -59,13 +63,15 @@ def load_mesh(path: str) -> dict:
             return parse_dae(path)
         if ext == ".3ds":
             return parse_3ds(path)
-        if ext in (".fbx", ".blend", ".x3d"):
+        if ext == ".fbx":
+            return parse_fbx(path)
+        if ext in (".blend", ".x3d"):
             # fail loudly rather than mis-parse as OBJ; the reference
             # accepts these via assimp (mesh.cpp:56) — export to one of
             # the supported interchange formats instead
             raise ValueError(
                 f"unsupported mesh format {ext}: {path} (supported: "
-                ".obj .ply .stl .gltf .glb .dae .3ds)")
+                ".obj .ply .stl .gltf .glb .dae .3ds .fbx)")
         # default: OBJ (also covers extensionless paths, like the
         # reference's assimp which sniffs content)
         return objloader.parse_obj(path)
@@ -571,3 +577,163 @@ def parse_3ds(path: str) -> dict:
     uv = np.stack([uv[:, 0], 1.0 - uv[:, 1]], axis=1)
     idx = np.arange(len(v), dtype=np.int32).reshape(-1, 3)
     return {"verts": v, "normals": n, "uvs": uv, "indices": idx}
+
+
+# -------------------------------------------------------------------- FBX
+
+def _fbx_read_node(data, pos, ver):
+    """One FBX-binary node record. Returns (end_offset, name, props,
+    children) or (next_pos, None, None, None) for the NULL terminator."""
+    if ver >= 7500:
+        end, nprops, _plen = struct.unpack_from("<QQQ", data, pos)
+        nlen = data[pos + 24]
+        hdr = 25
+    else:
+        end, nprops, _plen = struct.unpack_from("<III", data, pos)
+        nlen = data[pos + 12]
+        hdr = 13
+    if end == 0:
+        return pos + hdr, None, None, None
+    name = data[pos + hdr:pos + hdr + nlen].decode("ascii", "replace")
+    p = pos + hdr + nlen
+    props = []
+    for _ in range(nprops):
+        tc = chr(data[p]); p += 1
+        if tc in "CB":
+            props.append(bool(data[p])); p += 1
+        elif tc == "Y":
+            props.append(struct.unpack_from("<h", data, p)[0]); p += 2
+        elif tc == "I":
+            props.append(struct.unpack_from("<i", data, p)[0]); p += 4
+        elif tc == "L":
+            props.append(struct.unpack_from("<q", data, p)[0]); p += 8
+        elif tc == "F":
+            props.append(struct.unpack_from("<f", data, p)[0]); p += 4
+        elif tc == "D":
+            props.append(struct.unpack_from("<d", data, p)[0]); p += 8
+        elif tc in "fdil":
+            n, enc, clen = struct.unpack_from("<III", data, p); p += 12
+            dt = {"f": "<f4", "d": "<f8", "i": "<i4", "l": "<i8"}[tc]
+            if enc:
+                import zlib
+                raw = zlib.decompress(data[p:p + clen])
+                props.append(np.frombuffer(raw, dt, n))
+                p += clen
+            else:
+                width = np.dtype(dt).itemsize
+                props.append(np.frombuffer(data, dt, n, p))
+                p += n * width
+        elif tc in "SR":
+            n = struct.unpack_from("<I", data, p)[0]; p += 4
+            props.append(data[p:p + n]); p += n
+        else:
+            raise ValueError(f"unknown FBX property type {tc!r}")
+    children = []
+    while p < end:
+        p, cname, cprops, cch = _fbx_read_node(data, p, ver)
+        if cname is None:
+            break
+        children.append((cname, cprops, cch))
+    return end, name, props, children
+
+
+def parse_fbx(path: str) -> dict:
+    """FBX 7.x BINARY geometry: every Objects/Geometry node's Vertices +
+    PolygonVertexIndex (negative index = XOR-complemented last corner of
+    a polygon; polygons fan-triangulated like assimp's Triangulate),
+    with per-polygon-vertex or per-vertex LayerElementNormal/LayerElementUV
+    when present. Zlib-compressed arrays supported. ASCII FBX is not
+    (export binary, or another supported format)."""
+    data = open(path, "rb").read()
+    if not data.startswith(b"Kaydara FBX Binary"):
+        raise ValueError(
+            f"not a binary FBX file (ASCII FBX unsupported): {path}")
+    ver = struct.unpack_from("<I", data, 23)[0]
+    pos = 27
+    roots = []
+    while pos < len(data):
+        pos, name, props, children = _fbx_read_node(data, pos, ver)
+        if name is None:
+            break
+        roots.append((name, props, children))
+
+    def find_all(nodes, name):
+        return [n for n in nodes if n[0] == name]
+
+    objects = []
+    for name, props, children in roots:
+        if name == "Objects":
+            objects = children
+            break
+
+    all_v, all_n, all_uv = [], [], []
+    for name, props, children in find_all(objects, "Geometry"):
+        verts = idx = None
+        nrm = nrm_map = uv = uv_map = uv_idx = None
+        for cname, cprops, cch in children:
+            if cname == "Vertices" and cprops:
+                verts = np.asarray(cprops[0], np.float64).reshape(-1, 3)
+            elif cname == "PolygonVertexIndex" and cprops:
+                idx = np.asarray(cprops[0], np.int64)
+            elif cname == "LayerElementNormal":
+                for gname, gprops, _ in cch:
+                    if gname == "Normals" and gprops:
+                        nrm = np.asarray(gprops[0], np.float64
+                                         ).reshape(-1, 3)
+                    elif gname == "MappingInformationType" and gprops:
+                        nrm_map = gprops[0]
+            elif cname == "LayerElementUV":
+                for gname, gprops, _ in cch:
+                    if gname == "UV" and gprops:
+                        uv = np.asarray(gprops[0], np.float64
+                                        ).reshape(-1, 2)
+                    elif gname == "UVIndex" and gprops:
+                        uv_idx = np.asarray(gprops[0], np.int64)
+                    elif gname == "MappingInformationType" and gprops:
+                        uv_map = gprops[0]
+        if verts is None or idx is None or len(idx) == 0:
+            continue
+        # polygons: corner runs ending at a negative (complemented) index
+        corners = []          # positions into the polygon-vertex stream
+        poly = []
+        for k, i in enumerate(idx):
+            poly.append(k)
+            if i < 0:
+                for t in range(1, len(poly) - 1):
+                    corners += [poly[0], poly[t], poly[t + 1]]
+                poly = []
+        corners = np.asarray(corners, np.int64)
+        vidx = idx[corners]
+        vidx = np.where(vidx < 0, ~vidx, vidx)   # complement last corners
+        v = verts[vidx]
+        if nrm is not None and nrm_map == b"ByPolygonVertex" \
+                and len(nrm) == len(idx):
+            n = nrm[corners]
+        elif nrm is not None and nrm_map == b"ByVertice" \
+                and len(nrm) == len(verts):
+            n = nrm[vidx]
+        else:
+            n = _faceted_normals(v.astype(np.float32))
+        if uv is not None and uv_map == b"ByPolygonVertex":
+            t = (uv[uv_idx[corners]] if uv_idx is not None
+                 and len(uv_idx) == len(idx) else
+                 uv[corners] if len(uv) == len(idx) else None)
+        elif uv is not None and uv_map == b"ByVertice" \
+                and len(uv) == len(verts):
+            t = uv[vidx]
+        else:
+            t = None
+        if t is None:
+            t = np.zeros((len(v), 2), np.float64)
+        else:
+            t = np.stack([t[:, 0], 1.0 - t[:, 1]], axis=1)  # FlipUVs
+        all_v.append(v.astype(np.float32))
+        all_n.append(np.asarray(n, np.float32))
+        all_uv.append(t.astype(np.float32))
+    if not all_v:
+        raise ValueError(f"no polygon geometry in FBX file: {path}")
+    v = np.concatenate(all_v)
+    n = np.concatenate(all_n)
+    t = np.concatenate(all_uv)
+    i = np.arange(len(v), dtype=np.int32).reshape(-1, 3)
+    return {"verts": v, "normals": n, "uvs": t, "indices": i}

@@ -327,7 +327,86 @@ def test_3ds_roundtrip(tmp_path):
 
 def test_unsupported_format_fails_loudly(tmp_path):
     import pytest
-    p = tmp_path / "model.fbx"
-    p.write_bytes(b"Kaydara FBX Binary  \x00")
+    p = tmp_path / "model.blend"
+    p.write_bytes(b"BLENDER-v300")
     with pytest.raises(ValueError, match="unsupported mesh format"):
+        meshload.load_mesh(str(p))
+
+
+def test_fbx_binary_quad(tmp_path):
+    """FBX 7.4 binary: one Geometry with a 4-corner polygon (complemented
+    last index -> fan triangulation), zlib-compressed arrays,
+    ByPolygonVertex normals, ByPolygonVertex UV via UVIndex."""
+    verts = np.asarray([0, 0, 0, 1, 0, 0, 1, 1, 0, 0, 1, 0], np.float64)
+    pvi = np.asarray([0, 1, 2, ~3], np.int64)          # quad, closed
+    nrm = np.asarray([0, 0, 1] * 4, np.float64)        # per corner
+    uv = np.asarray([0, 0, 1, 0, 1, 1, 0, 1], np.float64)
+    uvidx = np.asarray([0, 1, 2, 3], np.int64)
+
+    # assemble: Objects > Geometry > {Vertices, PolygonVertexIndex,
+    # LayerElementNormal>{Normals, MappingInformationType},
+    # LayerElementUV>{UV, UVIndex, MappingInformationType}}
+    header = b"Kaydara FBX Binary  \x00\x1a\x00" + struct.pack("<I", 7400)
+    off0 = len(header)
+
+    # innermost first — we must know offsets, so lay out iteratively
+    def build(name, props=(), children_spec=()):
+        def at(offset):
+            name_b = name.encode()
+            import zlib
+            pb = b""
+            for p in props:
+                if isinstance(p, np.ndarray):
+                    tc = {"f8": b"d", "i8": b"l"}[p.dtype.str[1:]]
+                    comp = zlib.compress(p.tobytes())
+                    pb += tc + struct.pack("<III", p.size, 1,
+                                           len(comp)) + comp
+                elif isinstance(p, bytes):
+                    pb += b"S" + struct.pack("<I", len(p)) + p
+            body_off = offset + 13 + len(name_b) + len(pb)
+            cb = b""
+            o = body_off
+            for spec in children_spec:
+                c = spec(o)
+                cb += c
+                o += len(c)
+            if children_spec:
+                cb += b"\0" * 13
+            end = offset + 13 + len(name_b) + len(pb) + len(cb)
+            return (struct.pack("<III", end, len(props), len(pb))
+                    + bytes([len(name_b)]) + name_b + pb + cb)
+        return at
+
+    geom = build("Geometry", (), (
+        build("Vertices", (verts,)),
+        build("PolygonVertexIndex", (pvi,)),
+        build("LayerElementNormal", (), (
+            build("Normals", (nrm,)),
+            build("MappingInformationType", (b"ByPolygonVertex",)),
+        )),
+        build("LayerElementUV", (), (
+            build("UV", (uv,)),
+            build("UVIndex", (uvidx,)),
+            build("MappingInformationType", (b"ByPolygonVertex",)),
+        )),
+    ))
+    objects = build("Objects", (), (geom,))
+    data = header + objects(off0)
+    data += b"\0" * 13  # top-level NULL record
+    p = tmp_path / "quad.fbx"
+    p.write_bytes(data)
+    m = meshload.load_mesh(str(p))
+    assert m["indices"].shape == (2, 3)     # fan -> 2 tris
+    assert m["verts"].shape == (6, 3)
+    np.testing.assert_allclose(m["normals"], np.tile([[0, 0, 1]], (6, 1)))
+    np.testing.assert_allclose(m["uvs"][0], [0.0, 1.0], atol=1e-6)  # V flip
+    # the complemented corner decoded: vertex 3 = (0,1,0) appears
+    assert any(np.allclose(v, [0, 1, 0]) for v in m["verts"])
+
+
+def test_fbx_ascii_rejected(tmp_path):
+    import pytest
+    p = tmp_path / "a.fbx"
+    p.write_text("; FBX 7.4.0 project file\nObjects: {\n}\n")
+    with pytest.raises(ValueError, match="ASCII FBX unsupported"):
         meshload.load_mesh(str(p))
