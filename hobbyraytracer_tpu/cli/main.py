@@ -96,9 +96,13 @@ def cmd_render(args) -> int:
                       f"({done} samples done)")
             last_ck = [time.time()]
             ck_thread = [None]
+            ck_err = [None]
 
             def _write(snap):
-                ckpt.save_state(args.checkpoint, snap, meta=meta)
+                try:
+                    ckpt.save_state(args.checkpoint, snap, meta=meta)
+                except BaseException as e:  # surfaced on the next tick
+                    ck_err[0] = e
 
             def ckpt_cb(s):
                 # ASYNC checkpointing: the device->host fetch rides a
@@ -112,6 +116,14 @@ def cmd_render(args) -> int:
                 # following tick retries with fresher state.
                 import threading
 
+                if ck_err[0] is not None:
+                    # a failed save must abort like the old synchronous
+                    # write did — a render that "succeeds" with a stale
+                    # or absent checkpoint hides the failure until a
+                    # resume is actually needed
+                    raise RuntimeError(
+                        f"checkpoint write failed: {ck_err[0]}"
+                    ) from ck_err[0]
                 if time.time() - last_ck[0] < args.checkpoint_every:
                     return
                 t = ck_thread[0]
@@ -143,6 +155,9 @@ def cmd_render(args) -> int:
                 rr=not args.no_rr)
         if args.checkpoint and ck_thread[0] is not None:
             ck_thread[0].join()  # never exit with a half-written file
+            if ck_err[0] is not None:
+                print(f"warning: final checkpoint write failed: "
+                      f"{ck_err[0]}")
         img = np.asarray(img)
     else:
         chunk = args.chunk

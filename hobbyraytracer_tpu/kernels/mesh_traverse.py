@@ -69,8 +69,13 @@ BLOCK = int(os.environ.get("HRT_BLOCK", "1024"))
 # blows the 16 MB scoped-vmem limit (measured), 2048 fits comfortably.
 KEY_BLOCK = int(os.environ.get("HRT_KEY_BLOCK", "2048"))
 SOA_ROWS = 24        # v0,e1,e2 (9) + n0,n1,n2 (9) + uv0,uv1,uv2 (6)
-# winner-pick via MXU matmuls instead of VPU one-hot reductions
-MXU_PICK = os.environ.get("HRT_MXU_PICK", "1") != "0"
+# Winner-pick via MXU matmuls instead of VPU one-hot reductions.
+# Default OFF: at HIGHEST (true-f32) matmul precision the MXU pass costs
+# more than the VPU reductions it replaces on this chip (4.97M vs 5.78M
+# rays/s, PERF.md round 4) — the briefly-measured +2% was DEFAULT
+# precision silently truncating normals/UVs to bf16. Kept as a knob for
+# chips where the f32 matmul economics differ.
+MXU_PICK = os.environ.get("HRT_MXU_PICK", "0") != "0"
 # Total scoped-VMEM budget the kernel may plan against (the hardware
 # limit is 16 MB; leave slack for Mosaic's own staging buffers).
 VMEM_BUDGET_BYTES = 14 * 1024 * 1024
@@ -207,7 +212,6 @@ def _kernel(rays_ref, bounds_ref, tri_ref, id_ref,
             # contraction over the L=128 lane axis rides the MXU while
             # the VPU works the next visit's Moller-Trumbore (measured
             # round 4, PERF.md)
-            hotf = hot.astype(jnp.float32)
             if need_uv:
                 a0 = jnp.concatenate([blk[9:12, :], blk[18:20, :]], 0)
                 a1 = jnp.concatenate([blk[12:15, :], blk[20:22, :]], 0)
@@ -216,12 +220,21 @@ def _kernel(rays_ref, bounds_ref, tri_ref, id_ref,
                 a0, a1, a2 = blk[9:12, :], blk[12:15, :], blk[15:18, :]
 
             def mm(w_bl, a_rl):                  # (B,L)x(A,L) -> (B,A)
+                # HIGHEST precision: the default truncates f32 MXU
+                # inputs to bf16 (~8 mantissa bits lost on normals/UVs)
                 return jax.lax.dot_general(
                     w_bl, a_rl, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
 
-            attr = (mm(hotf * w0, a0) + mm(hotf * u, a1)
-                    + mm(hotf * v, a2))          # (B, 5|3)
+            # mask by SELECT, not multiply: a degenerate sliver in a
+            # NON-winning lane can have inf/NaN barycentrics, and
+            # 0 * inf = NaN would ride the contraction into the winning
+            # ray's attributes
+            z = jnp.float32(0.0)
+            attr = (mm(jnp.where(hot, w0, z), a0)
+                    + mm(jnp.where(hot, u, z), a1)
+                    + mm(jnp.where(hot, v, z), a2))   # (B, 5|3)
             pad_w = 2 if need_uv else 4
             cand = jnp.concatenate(
                 [t_min, attr, jnp.zeros((b, pad_w), jnp.float32)], axis=1)

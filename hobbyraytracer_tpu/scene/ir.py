@@ -261,29 +261,19 @@ def wavefront_sort_key(scene: "SceneIR", rays: Rays, ray_valid=None):
     for inst in scene.instances:
         if (inst.kind == "mesh" and inst.mesh.use_bvh
                 and inst.mesh.bounds8 is not None):
-            backend, interpret = _resolve_mesh_backend("auto", inst.mesh)
+            backend, _ = _resolve_mesh_backend("auto", inst.mesh)
             if backend == "pallas":
                 break
     else:
         return None
-    from ..kernels import mesh_traverse as kmod
     r = inst.transform.ray_to_object(rays) if inst.transform else rays
     n = rays.o.shape[0]
-    kb = kmod.KEY_BLOCK
-    n_pad = ((n + kb - 1) // kb) * kb
     if ray_valid is None:
         ray_valid = jnp.ones((n,), jnp.bool_)
-    o = isect._pad(r.o, n_pad, 0.0)
-    d = isect._pad(r.d, n_pad, 1.0)
-    valid = isect._pad(ray_valid, n_pad, False)
-    rays8 = jnp.concatenate(
-        [o, d, valid.astype(jnp.float32)[:, None],
-         jnp.zeros((n_pad, 1), jnp.float32)], axis=1)
-    e_min, first = kmod.coherence_keys_pallas(
-        rays8.reshape(-1, kb, 8), inst.mesh.bounds8, interpret=interpret)
-    return isect.pack_coherence_key(e_min.reshape(-1)[:n],
-                                    first.reshape(-1)[:n],
-                                    inst.mesh.bounds8.shape[1])
+    # same keys-kernel-free key as the per-mesh sort (round 4): root-box
+    # slab + direction octant + origin Morton cell, ~0.1 ms of dense math
+    return isect.cheap_coherence_key(r.o, r.d, ray_valid,
+                                     inst.mesh.bounds8, float(BIG))
 
 
 def _intersect_instance(inst: Instance, rays: Rays, t_min,

@@ -542,6 +542,8 @@ def parse_3ds(path: str) -> dict:
         pos = start
         while pos + 6 <= end:
             cid, clen = struct.unpack_from("<HI", data, pos)
+            if clen < 6 or pos + clen > end:
+                raise ValueError(f"corrupt 3DS chunk at {pos} in {path}")
             body = pos + 6
             if cid == 0x4110:
                 n = struct.unpack_from("<H", data, body)[0]
@@ -693,23 +695,35 @@ def parse_fbx(path: str) -> dict:
                         uv_map = gprops[0]
         if verts is None or idx is None or len(idx) == 0:
             continue
-        # polygons: corner runs ending at a negative (complemented) index
-        corners = []          # positions into the polygon-vertex stream
-        poly = []
-        for k, i in enumerate(idx):
-            poly.append(k)
-            if i < 0:
-                for t in range(1, len(poly) - 1):
-                    corners += [poly[0], poly[t], poly[t + 1]]
-                poly = []
-        corners = np.asarray(corners, np.int64)
+        # polygons: corner runs ending at a negative (complemented)
+        # index. Vectorized: a 1M-tri FBX has ~3M indices — a per-index
+        # Python loop costs seconds.
+        ends = np.flatnonzero(idx < 0)
+        if len(ends) == 0:
+            raise ValueError(f"unterminated FBX polygon data: {path}")
+        starts = np.concatenate([[0], ends[:-1] + 1])
+        sizes = ends - starts + 1
+        if (sizes == 3).all():  # already triangulated: pure reshape
+            corners = np.arange(len(idx), dtype=np.int64)
+        else:
+            ntri = sizes - 2  # fan triangles per polygon
+            ntri = np.maximum(ntri, 0)
+            total = int(ntri.sum())
+            poly_of = np.repeat(np.arange(len(sizes)), ntri)
+            # t = rank of the triangle within its polygon, 1-based
+            first = np.concatenate([[0], np.cumsum(ntri)[:-1]])
+            t_rank = np.arange(total) - first[poly_of] + 1
+            s = starts[poly_of]
+            corners = np.stack([s, s + t_rank, s + t_rank + 1],
+                               axis=1).reshape(-1)
         vidx = idx[corners]
         vidx = np.where(vidx < 0, ~vidx, vidx)   # complement last corners
         v = verts[vidx]
+        by_vert = (b"ByVertice", b"ByVertex")  # exporters use both
         if nrm is not None and nrm_map == b"ByPolygonVertex" \
                 and len(nrm) == len(idx):
             n = nrm[corners]
-        elif nrm is not None and nrm_map == b"ByVertice" \
+        elif nrm is not None and nrm_map in by_vert \
                 and len(nrm) == len(verts):
             n = nrm[vidx]
         else:
@@ -718,7 +732,7 @@ def parse_fbx(path: str) -> dict:
             t = (uv[uv_idx[corners]] if uv_idx is not None
                  and len(uv_idx) == len(idx) else
                  uv[corners] if len(uv) == len(idx) else None)
-        elif uv is not None and uv_map == b"ByVertice" \
+        elif uv is not None and uv_map in by_vert \
                 and len(uv) == len(verts):
             t = uv[vidx]
         else:
