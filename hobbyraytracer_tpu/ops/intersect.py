@@ -441,7 +441,12 @@ def cheap_coherence_key(o, d, valid, bounds8, t_max):
     entry = jnp.maximum(lo, 0.0)
     could_hit = (hi > entry) & (entry < t_max) & valid
 
-    q = jnp.clip((o - bmin[None, :]) / jnp.maximum(bmax - bmin, 1e-30),
+    # Morton-code the point where the ray ENTERS the root box, not the
+    # origin: camera rays share one origin (zero discrimination) but
+    # their entry points spread over the box face and track the first
+    # cluster; for rays born inside (entry=0) this IS the origin.
+    pe = o + d * entry[:, None]
+    q = jnp.clip((pe - bmin[None, :]) / jnp.maximum(bmax - bmin, 1e-30),
                  0.0, 1.0)
     cell = (q * 31.0).astype(jnp.int32)          # 5 bits/axis
 
