@@ -628,7 +628,10 @@ def intersect_mesh_clustered_pallas(rays: Rays, tri_verts, tri_id, bmin,
         # presorts the whole lane pool once per segment) pass False
         cohsort = not os.environ.get("HRT_NO_COHSORT")
     b = kmod.BLOCK
-    align = max(b, kmod.KEY_BLOCK) if cohsort else b
+    # only the (non-default) Pallas keys kernel needs KEY_BLOCK alignment
+    key_mode = os.environ.get("HRT_KEY_MODE", "cheap")
+    align = (max(b, kmod.KEY_BLOCK)
+             if (cohsort and key_mode != "cheap") else b)
     n_pad = ((n_rays + align - 1) // align) * align
     nb = n_pad // b
 
@@ -660,7 +663,7 @@ def intersect_mesh_clustered_pallas(rays: Rays, tri_verts, tri_id, bmin,
         # reduction). The reference gets this "for free" from per-ray
         # recursion. HRT_NO_COHSORT=1 disables (the two argsorts +
         # gathers can rival the savings on small scenes).
-        if os.environ.get("HRT_KEY_MODE", "cheap") == "cheap":
+        if key_mode == "cheap":
             sort_key = cheap_coherence_key(o, d, valid, bounds8,
                                            float(t_max))
         else:
