@@ -128,25 +128,22 @@ def main():
 
         rows.append(("  mesh traversal kernel", timeit(traverse, rays8)))
 
-        kb = kmod.KEY_BLOCK
-
-        from hobbyraytracer_tpu.ops.intersect import pack_coherence_key
-        k_cl = mesh.bounds8.shape[1]
+        from hobbyraytracer_tpu.core.mathx import BIG
+        from hobbyraytracer_tpu.ops.intersect import cheap_coherence_key
 
         @jax.jit
         def cohsort(r8):
-            # the REAL key packing (ops/intersect.pack_coherence_key), so
+            # the shipped default key path (cheap_coherence_key), so
             # this row cannot drift from shipped behavior
-            e_min, first = kmod.coherence_keys_pallas(
-                r8.reshape(-1, kb, 8), mesh.bounds8)
-            sk = pack_coherence_key(e_min.reshape(-1), first.reshape(-1),
-                                    k_cl)
+            sk = cheap_coherence_key(r8[:, 0:3], r8[:, 3:6],
+                                     r8[:, 6] > 0, mesh.bounds8,
+                                     float(BIG))
             perm = jnp.argsort(sk)
             r8s = r8[perm]
             undone = jnp.zeros_like(r8s).at[perm].set(r8s)
             return undone
 
-        rows.append(("  cohsort (keys+argsort+gather+undo)",
+        rows.append(("  cohsort (cheap key+argsort+gather+undo)",
                      timeit(cohsort, rays8)))
 
     hits = isect_full(state.o, state.d, active)
