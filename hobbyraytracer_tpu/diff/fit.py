@@ -29,6 +29,21 @@ from ..scene import ir as scene_ir
 MAT_FIELDS = ("albedo", "roughness", "strength", "ior", "metallness")
 
 
+def project_materials(params: dict) -> dict:
+    """Clamp fitted material parameters to their physical ranges after an
+    optimizer step. THE single definition — the single-device fit step
+    (fit_materials) and the shard_map step
+    (parallel/shard.py:make_sharded_fit_step) must share a trajectory,
+    so both call this."""
+    m = params.get("materials")
+    if m is not None:
+        m["albedo"] = jnp.clip(m["albedo"], 0.0, 1.0)
+        m["roughness"] = jnp.clip(m["roughness"], 0.0, 1.0)
+        m["ior"] = jnp.clip(m["ior"], 1.0, 3.0)
+        m["strength"] = jnp.maximum(m["strength"], 0.0)
+    return params
+
+
 def select_params(scene: scene_ir.SceneIR, fit_vertices: bool = False):
     """-> (params dict, rebuild fn). params: {"materials": {...},
     "verts": [v_i...]} — a plain pytree suitable for optax."""
@@ -66,8 +81,8 @@ def render_linear(scene: scene_ir.SceneIR, camera, width: int, height: int,
                   mesh_backend: str = "auto_diff") -> jnp.ndarray:
     """Linear-radiance render (pre-tonemap) with the differentiable
     integrator. Returns (W*H, 3). mesh_backend "auto_diff" = Pallas find
-    over build-time tables (fast, static geometry); vertex fits pass
-    "xla" (the find must track the moving vertices)."""
+    over the scene's kernel tables (vertex fits keep these fresh via
+    ir.refresh_kernel_tables in rebuild); "xla" = lockstep traversal."""
     x, y = path_mod.pixel_grid(width, height)
 
     def one_sample(acc, s):
@@ -247,16 +262,7 @@ def fit_materials(scene: scene_ir.SceneIR, camera, target, width, height,
             bg = boundary_terms(params, k)
             grads["verts"] = [g + b for g, b in zip(grads["verts"], bg)]
         updates, opt_state = opt.update(grads, opt_state)
-        params = optax.apply_updates(params, updates)
-        # keep physical ranges
-        params["materials"]["albedo"] = jnp.clip(
-            params["materials"]["albedo"], 0.0, 1.0)
-        params["materials"]["roughness"] = jnp.clip(
-            params["materials"]["roughness"], 0.0, 1.0)
-        params["materials"]["ior"] = jnp.clip(
-            params["materials"]["ior"], 1.0, 3.0)
-        params["materials"]["strength"] = jnp.maximum(
-            params["materials"]["strength"], 0.0)
+        params = project_materials(optax.apply_updates(params, updates))
         return params, opt_state, loss
 
     losses = []

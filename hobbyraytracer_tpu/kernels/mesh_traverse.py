@@ -208,10 +208,9 @@ def _kernel(rays_ref, bounds_ref, tri_ref, id_ref,
         w0 = 1.0 - u - v
         if MXU_PICK:
             # pack interpolation + winner-pick into 3 small matmuls:
-            # out[b,a] = sum_l hot*(w0*A0[a]+u*A1[a]+v*A2[a]) — the
-            # contraction over the L=128 lane axis rides the MXU while
-            # the VPU works the next visit's Moller-Trumbore (measured
-            # round 4, PERF.md)
+            # out[b,a] = sum_l hot*(w0*A0[a]+u*A1[a]+v*A2[a]). NOTE:
+            # measured SLOWER than the VPU reductions at true-f32
+            # precision on v5e (see MXU_PICK above) — off by default
             if need_uv:
                 a0 = jnp.concatenate([blk[9:12, :], blk[18:20, :]], 0)
                 a1 = jnp.concatenate([blk[12:15, :], blk[20:22, :]], 0)

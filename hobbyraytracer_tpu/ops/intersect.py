@@ -415,6 +415,36 @@ def pack_coherence_key(e_min, first, k_clusters: int):
                      jnp.int32(k_clusters) * (e_lvls + 1))
 
 
+def coherence_key(o, d, valid, bounds8, t_max, interpret: bool = False):
+    """The coherence-sort key for a wavefront, resolved by HRT_KEY_MODE —
+    the ONE place both sort call sites (the per-mesh sort inside
+    intersect_mesh_clustered_pallas and the pool-level sort,
+    scene/ir.py:wavefront_sort_key) and the profiler get their key from,
+    so an A/B of the knob flips every path together.
+
+    "cheap" (default): cheap_coherence_key below. "pallas": the retained
+    keys-kernel path (~1.1 ms/segment at the 128k pool, kept for
+    comparison; PERF.md round 4). o/d: (N,3) with N any size — the
+    pallas path pads to KEY_BLOCK internally."""
+    import os
+
+    if os.environ.get("HRT_KEY_MODE", "cheap") == "cheap":
+        return cheap_coherence_key(o, d, valid, bounds8, t_max)
+    from ..kernels import mesh_traverse as kmod
+    n = o.shape[0]
+    kb = kmod.KEY_BLOCK
+    n_pad = ((n + kb - 1) // kb) * kb
+    rays8 = jnp.concatenate(
+        [_pad(o, n_pad, 0.0), _pad(d, n_pad, 1.0),
+         _pad(valid, n_pad, False).astype(jnp.float32)[:, None],
+         jnp.zeros((n_pad, 1), jnp.float32)], axis=1)
+    e_min, first = kmod.coherence_keys_pallas(
+        rays8.reshape(-1, kb, 8), bounds8, t_max=float(t_max),
+        interpret=interpret)
+    return pack_coherence_key(e_min.reshape(-1)[:n],
+                              first.reshape(-1)[:n], bounds8.shape[1])
+
+
 def cheap_coherence_key(o, d, valid, bounds8, t_max):
     """Keys-kernel-free coherence key (round 4): the Pallas keys kernel
     costs ~1.1 ms/segment at the 128k pool — nearly half the traversal
@@ -663,15 +693,8 @@ def intersect_mesh_clustered_pallas(rays: Rays, tri_verts, tri_id, bmin,
         # reduction). The reference gets this "for free" from per-ray
         # recursion. HRT_NO_COHSORT=1 disables (the two argsorts +
         # gathers can rival the savings on small scenes).
-        if key_mode == "cheap":
-            sort_key = cheap_coherence_key(o, d, valid, bounds8,
-                                           float(t_max))
-        else:
-            e_min, first = kmod.coherence_keys_pallas(
-                rays8.reshape(-1, kmod.KEY_BLOCK, 8), bounds8,
-                t_max=float(t_max), interpret=interpret)
-            sort_key = pack_coherence_key(e_min.reshape(-1),
-                                          first.reshape(-1), k_clusters)
+        sort_key = coherence_key(o, d, valid, bounds8, float(t_max),
+                                 interpret=interpret)
         perm = jnp.argsort(sort_key)
         rays8 = rays8[perm]
 

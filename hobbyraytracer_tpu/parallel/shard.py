@@ -284,21 +284,15 @@ def make_sharded_fit_step(rebuild, camera, width, height, n_samples,
                                    n_samples, target, mesh, max_depth,
                                    mesh_backend)
 
-    import jax.numpy as jnp
+    from ..diff.fit import project_materials
 
     @jax.jit
     def step(params, opt_state, key):
         loss, grads = jax.value_and_grad(loss_fn)(params, key)
         updates, opt_state = opt.update(grads, opt_state)
-        params = optax.apply_updates(params, updates)
-        # same physical-range projection as fit_materials' step — the
-        # two paths must share a trajectory, not just a loss function
-        m = params.get("materials")
-        if m is not None:
-            m["albedo"] = jnp.clip(m["albedo"], 0.0, 1.0)
-            m["roughness"] = jnp.clip(m["roughness"], 0.0, 1.0)
-            m["ior"] = jnp.clip(m["ior"], 1.0, 3.0)
-            m["strength"] = jnp.maximum(m["strength"], 0.0)
+        # shared physical-range projection: the two fit paths must share
+        # a trajectory, not just a loss function
+        params = project_materials(optax.apply_updates(params, updates))
         return params, opt_state, loss
 
     return step

@@ -252,12 +252,12 @@ def has_wavefront_sort_key(scene: "SceneIR") -> bool:
 
 def wavefront_sort_key(scene: "SceneIR", rays: Rays, ray_valid=None):
     """Coherence sort key for a whole wavefront, or None when the scene
-    has no Pallas-traversed mesh (then sorting buys nothing). Packs
-    (nearest-entry cluster id, quantized entry distance) of the FIRST
-    BVH mesh instance — the integrator can permute its entire lane pool
-    by it once per segment instead of paying the per-mesh sort+unsort
-    inside intersect (see integrator/wavefront.py for the measured
-    tradeoff)."""
+    has no Pallas-traversed mesh (then sorting buys nothing). Keys the
+    FIRST BVH mesh instance via ops/intersect.coherence_key (the
+    HRT_KEY_MODE-resolved key shared with the per-mesh sort): the
+    integrator can permute its entire lane pool by it once per segment
+    instead of paying the per-mesh sort+unsort inside intersect (see
+    integrator/wavefront.py for the measured tradeoff)."""
     for inst in scene.instances:
         if (inst.kind == "mesh" and inst.mesh.use_bvh
                 and inst.mesh.bounds8 is not None):
@@ -270,10 +270,9 @@ def wavefront_sort_key(scene: "SceneIR", rays: Rays, ray_valid=None):
     n = rays.o.shape[0]
     if ray_valid is None:
         ray_valid = jnp.ones((n,), jnp.bool_)
-    # same keys-kernel-free key as the per-mesh sort (round 4): root-box
-    # slab + direction octant + origin Morton cell, ~0.1 ms of dense math
-    return isect.cheap_coherence_key(r.o, r.d, ray_valid,
-                                     inst.mesh.bounds8, float(BIG))
+    _, interpret = _resolve_mesh_backend("auto", inst.mesh)
+    return isect.coherence_key(r.o, r.d, ray_valid, inst.mesh.bounds8,
+                               float(BIG), interpret=interpret)
 
 
 def _intersect_instance(inst: Instance, rays: Rays, t_min,

@@ -704,7 +704,9 @@ def parse_fbx(path: str) -> dict:
         starts = np.concatenate([[0], ends[:-1] + 1])
         sizes = ends - starts + 1
         if (sizes == 3).all():  # already triangulated: pure reshape
-            corners = np.arange(len(idx), dtype=np.int64)
+            # up to ends[-1] only: a trailing UNTERMINATED corner run
+            # (no negative index) is dropped, as the per-index loop did
+            corners = np.arange(ends[-1] + 1, dtype=np.int64)
         else:
             ntri = sizes - 2  # fan triangles per polygon
             ntri = np.maximum(ntri, 0)

@@ -129,21 +129,20 @@ def main():
         rows.append(("  mesh traversal kernel", timeit(traverse, rays8)))
 
         from hobbyraytracer_tpu.core.mathx import BIG
-        from hobbyraytracer_tpu.ops.intersect import cheap_coherence_key
+        from hobbyraytracer_tpu.ops.intersect import coherence_key
 
         @jax.jit
         def cohsort(r8):
-            # the shipped default key path (cheap_coherence_key), so
-            # this row cannot drift from shipped behavior
-            sk = cheap_coherence_key(r8[:, 0:3], r8[:, 3:6],
-                                     r8[:, 6] > 0, mesh.bounds8,
-                                     float(BIG))
+            # the shipped HRT_KEY_MODE-resolved key path, so this row
+            # cannot drift from shipped behavior
+            sk = coherence_key(r8[:, 0:3], r8[:, 3:6],
+                               r8[:, 6] > 0, mesh.bounds8, float(BIG))
             perm = jnp.argsort(sk)
             r8s = r8[perm]
             undone = jnp.zeros_like(r8s).at[perm].set(r8s)
             return undone
 
-        rows.append(("  cohsort (cheap key+argsort+gather+undo)",
+        rows.append(("  cohsort (key+argsort+gather+undo)",
                      timeit(cohsort, rays8)))
 
     hits = isect_full(state.o, state.d, active)

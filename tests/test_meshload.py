@@ -410,3 +410,44 @@ def test_fbx_ascii_rejected(tmp_path):
     p.write_text("; FBX 7.4.0 project file\nObjects: {\n}\n")
     with pytest.raises(ValueError, match="ASCII FBX unsupported"):
         meshload.load_mesh(str(p))
+
+
+def test_fbx_trailing_unterminated_corners_dropped(tmp_path):
+    """A trailing corner run with no closing (negative) index must be
+    DROPPED, not emitted as a partial triangle (review r4): the
+    all-triangles fast path slices to the last terminator."""
+    verts = np.asarray([0, 0, 0, 1, 0, 0, 1, 1, 0, 0, 1, 0], np.float64)
+    pvi = np.asarray([0, 1, ~2, 1, 2], np.int64)  # 1 tri + trailing junk
+
+    def build(name, props=(), children_spec=()):
+        def at(offset):
+            import zlib
+            name_b = name.encode()
+            pb = b""
+            for p in props:
+                if isinstance(p, np.ndarray):
+                    tc = {"f8": b"d", "i8": b"l"}[p.dtype.str[1:]]
+                    comp = zlib.compress(p.tobytes())
+                    pb += tc + struct.pack("<III", p.size, 1,
+                                           len(comp)) + comp
+            body_off = offset + 13 + len(name_b) + len(pb)
+            cb = b""
+            o = body_off
+            for spec in children_spec:
+                c = spec(o); cb += c; o += len(c)
+            if children_spec:
+                cb += b"\0" * 13
+            end = offset + 13 + len(name_b) + len(pb) + len(cb)
+            return (struct.pack("<III", end, len(props), len(pb))
+                    + bytes([len(name_b)]) + name_b + pb + cb)
+        return at
+
+    geom = build("Geometry", (), (build("Vertices", (verts,)),
+                                  build("PolygonVertexIndex", (pvi,))))
+    objects = build("Objects", (), (geom,))
+    header = b"Kaydara FBX Binary  \x00\x1a\x00" + struct.pack("<I", 7400)
+    data = header + objects(len(header)) + b"\0" * 13
+    p = tmp_path / "trail.fbx"
+    p.write_bytes(data)
+    m = meshload.load_mesh(str(p))
+    assert m["indices"].shape == (1, 3)  # junk dropped, one triangle
