@@ -9,11 +9,21 @@ This bench renders the same workload shape (teapot-class mesh in a box,
 Run: python bench.py            (uses the available backend: TPU if present)
      BENCH_SCENE=cornell python bench.py
      BENCH_SPP=20 python bench.py   (shorter smoke run)
+     BENCH_REPEATS=5 python bench.py (median + spread over 5 timed runs)
+
+Measurement discipline (PERF.md round 4) is baked in, not operator
+lore: every timed repeat uses a FRESH PRNG key (same-input repeats
+under-measure through this stack's caching), the compile + tunnel
+warm-up render is excluded, and with BENCH_REPEATS > 1 the JSON line
+reports the MEDIAN with min/max spread fields — cornell's run-to-run
+spread (~±5%) was larger than some real optimizations, so single
+samples cannot rank round-over-round changes.
 """
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -42,39 +52,46 @@ def main() -> int:
 
     job = build_scene(load_scene_desc(os.path.join(here, "scenes",
                                                    scene_file)))
-    key = jax.random.PRNGKey(0)
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
+
+    if integrator == "wavefront":
+        pool = int(os.environ.get("BENCH_POOL", str(wavefront.DEFAULT_POOL)))
+
+        def render(spp, key):
+            img = wavefront.render_image(job.scene, job.camera, width,
+                                         height, spp, key, pool=pool)
+            jax.block_until_ready(img)
+    else:
+        chunk = max(1, min(samples, 2_000_000 // (width * height)))
+
+        def render(spp, key):
+            img = path_mod.render_image(job.scene, job.camera, width,
+                                        height, spp, key,
+                                        sample_chunk=chunk)
+            img.block_until_ready()
 
     # warmup / compile (excluded from the timing, like the reference's
     # load-vs-render split in main.cpp:164-192)
-    if integrator == "wavefront":
-        pool = int(os.environ.get("BENCH_POOL", str(wavefront.DEFAULT_POOL)))
-        img = wavefront.render_image(job.scene, job.camera, width, height,
-                                     1, key, pool=pool)
-        jax.block_until_ready(img)
+    render(1, jax.random.PRNGKey(0))
+    rates = []
+    for rep in range(repeats):
+        # fresh key per repeat: same-input repeats under-measure
         t0 = time.time()
-        img = wavefront.render_image(job.scene, job.camera, width, height,
-                                     samples, key, pool=pool)
-        jax.block_until_ready(img)
-        dt = time.time() - t0
-    else:
-        chunk = max(1, min(samples, 2_000_000 // (width * height)))
-        img = path_mod.render_image(job.scene, job.camera, width, height,
-                                    min(chunk, samples), key,
-                                    sample_chunk=chunk)
-        img.block_until_ready()
-        t0 = time.time()
-        img = path_mod.render_image(job.scene, job.camera, width, height,
-                                    samples, key, sample_chunk=chunk)
-        img.block_until_ready()
-        dt = time.time() - t0
+        render(samples, jax.random.PRNGKey(100 + rep))
+        rates.append(width * height * samples / (time.time() - t0))
 
-    rays_per_s = width * height * samples / dt
-    print(json.dumps({
+    rays_per_s = statistics.median(rates)
+    line = {
         "metric": f"primary_rays_per_s_{which}_{width}x{height}@{samples}spp",
         "value": round(rays_per_s),
         "unit": "rays/s/chip",
         "vs_baseline": round(rays_per_s / BASELINE_PRIMARY_RAYS_PER_S, 3),
-    }))
+    }
+    if repeats > 1:
+        line["repeats"] = repeats
+        line["min"] = round(min(rates))
+        line["max"] = round(max(rates))
+    print(json.dumps(line))
     return 0
 
 

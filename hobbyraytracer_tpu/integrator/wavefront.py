@@ -75,6 +75,10 @@ SAMPLE_CHUNK = int(os.environ.get("HRT_SAMPLE_CHUNK", "4"))
 # at divisors 4/8/12/16/24 — beyond 12 the defer path (extra segments)
 # eats the scatter saving. Floor of 64 keeps tiny pools exact.
 RETIRE_DIV = int(os.environ.get("HRT_RETIRE_DIV", "12"))
+if RETIRE_DIV < 1:
+    raise ValueError(
+        f"HRT_RETIRE_DIV={RETIRE_DIV}: the retirement-cap divisor must be "
+        ">= 1 (cap = pool // HRT_RETIRE_DIV rows scattered per segment)")
 RR_START = 4             # bounces before Russian roulette begins
 RR_MIN_P = 0.05          # survival-probability floor
 _BIGI = 2 ** 30  # plain int: a module-level jnp array would
@@ -199,7 +203,7 @@ def _regenerate(state: PoolState, camera: Camera, width: int, height: int,
 def _segment(state: PoolState, scene: scene_ir.SceneIR, width: int,
              height: int, key, max_depth: int, samples: int,
              sample_chunk: int = SAMPLE_CHUNK, rr: bool = True,
-             pool_sort: Optional[bool] = None) -> PoolState:
+             pool_sort: Optional[int] = None) -> PoolState:
     """Trace one path segment for every active lane; roll finished samples
     into the next sample of their chunk; retire finished chunks into the
     framebuffer via the compacted planar scatter."""
@@ -334,7 +338,7 @@ def _pool_run(state: PoolState, scene, camera, key, n_steps,
               width: int, height: int, total_items,
               max_depth: int, samples=1,
               sample_chunk=SAMPLE_CHUNK, rr: bool = True,
-              pool_sort: Optional[bool] = None) -> PoolState:
+              pool_sort: Optional[int] = None) -> PoolState:
     """Advance the pool by up to n_steps iterations (stops early when the
     whole render is done). Donated state -> in-place buffer reuse."""
 
@@ -363,7 +367,7 @@ def render_state(scene: scene_ir.SceneIR, camera: Camera, width: int,
                  checkpoint_cb: Optional[Callable[[PoolState], None]] = None,
                  sample_chunk: int = SAMPLE_CHUNK,
                  rr: bool = True,
-                 pool_sort: Optional[bool] = None,
+                 pool_sort: Optional[int] = None,
                  ) -> PoolState:
     """Run the pool to completion; returns the final state (fb holds the
     radiance SUM over `samples` samples per pixel).
@@ -373,6 +377,9 @@ def render_state(scene: scene_ir.SceneIR, camera: Camera, width: int,
     thread, main.cpp:95-109, becomes a between-chunks callback).
     checkpoint_cb(state) fires on the same cadence with the full state.
     `state` resumes from a checkpoint (see checkpoint.py).
+    pool_sort: pool-level coherence-sort PERIOD (int: permute the whole
+    lane pool every N segments, 0 = off = per-mesh sort; default the
+    HRT_POOL_SORT env knob) — see _segment.
     """
     wh = width * height
     chunk, n_chunks, _ = _chunk_geometry(samples, sample_chunk)
@@ -409,7 +416,7 @@ def render_image(scene: scene_ir.SceneIR, camera: Camera, width: int,
                  checkpoint_cb=None,
                  sample_chunk: int = SAMPLE_CHUNK,
                  rr: bool = True,
-                 pool_sort: Optional[bool] = None) -> jnp.ndarray:
+                 pool_sort: Optional[int] = None) -> jnp.ndarray:
     """Full render -> tonemapped (H, W, 3) float image in [0,1]; same film
     pipeline as integrator/path.py (average -> ACES -> gamma)."""
     state = render_state(scene, camera, width, height, samples, key,

@@ -76,6 +76,11 @@ SOA_ROWS = 24        # v0,e1,e2 (9) + n0,n1,n2 (9) + uv0,uv1,uv2 (6)
 # precision silently truncating normals/UVs to bf16. Kept as a knob for
 # chips where the f32 matmul economics differ.
 MXU_PICK = os.environ.get("HRT_MXU_PICK", "0") != "0"
+# Grid-axis semantics for the traversal kernel ("parallel" lets Mosaic
+# spread ray blocks across TensorCores; flat on 1-core v5e, PERF.md).
+# Read ONCE at import like every other knob (trace-time env reads are
+# invisible to the jit cache).
+DIM_SEM = os.environ.get("HRT_DIM_SEM", "parallel")
 # Total scoped-VMEM budget the kernel may plan against (the hardware
 # limit is 16 MB; leave slack for Mosaic's own staging buffers).
 VMEM_BUDGET_BYTES = 14 * 1024 * 1024
@@ -290,9 +295,8 @@ def traverse_clusters_pallas(rays8, bounds8, tri_soa, tri_id,
     # change vs arbitrary (PERF.md round 4) — kept because it is the
     # correct semantic declaration and multi-core chips (v4/v5p) get
     # the split for free. HRT_DIM_SEM overrides for experiments.
-    dim_sem = os.environ.get("HRT_DIM_SEM", "parallel")
-    params = (pltpu.CompilerParams(dimension_semantics=(dim_sem,))
-              if dim_sem else None)
+    params = (pltpu.CompilerParams(dimension_semantics=(DIM_SEM,))
+              if DIM_SEM else None)
     out_f, out_i = pl.pallas_call(
         kern,
         grid=(nb,),

@@ -14,6 +14,8 @@ This is the TPU-native answer to the reference's linear closest-hit scan
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -23,6 +25,14 @@ from ..core.types import Hits, Rays, set_face_normal
 # chunk of primitives processed per scan step; keeps the (R x chunk)
 # intermediate below ~tens of MB for multi-million-ray wavefronts.
 DEFAULT_CHUNK = 128
+
+# Knobs read ONCE at import: the jit cache is not keyed on env vars, so
+# a trace-time read would silently ignore mid-process flips after the
+# first trace — the hidden dependency class that broke round 3.
+# HRT_KEY_MODE: "cheap" (default) | "pallas" — see coherence_key.
+KEY_MODE = os.environ.get("HRT_KEY_MODE", "cheap")
+# HRT_NO_COHSORT=1: skip the per-mesh coherence sort entirely.
+NO_COHSORT = bool(os.environ.get("HRT_NO_COHSORT"))
 
 
 def _pad(x, n_padded: int, fill):
@@ -426,9 +436,7 @@ def coherence_key(o, d, valid, bounds8, t_max, interpret: bool = False):
     keys-kernel path (~1.1 ms/segment at the 128k pool, kept for
     comparison; PERF.md round 4). o/d: (N,3) with N any size — the
     pallas path pads to KEY_BLOCK internally."""
-    import os
-
-    if os.environ.get("HRT_KEY_MODE", "cheap") == "cheap":
+    if KEY_MODE == "cheap":
         return cheap_coherence_key(o, d, valid, bounds8, t_max)
     from ..kernels import mesh_traverse as kmod
     n = o.shape[0]
@@ -647,8 +655,6 @@ def intersect_mesh_clustered_pallas(rays: Rays, tri_verts, tri_id, bmin,
     pure-occlusion queries).
     Returns (t (R,), gid (R,) int32, hit (R,), normal (R,3), uv (R,2)).
     """
-    import os
-
     from ..kernels import mesh_traverse as kmod
 
     n_rays = rays.o.shape[0]
@@ -656,12 +662,11 @@ def intersect_mesh_clustered_pallas(rays: Rays, tri_verts, tri_id, bmin,
     if cohsort is None:
         # callers that already sorted the wavefront (integrator/wavefront
         # presorts the whole lane pool once per segment) pass False
-        cohsort = not os.environ.get("HRT_NO_COHSORT")
+        cohsort = not NO_COHSORT
     b = kmod.BLOCK
     # only the (non-default) Pallas keys kernel needs KEY_BLOCK alignment
-    key_mode = os.environ.get("HRT_KEY_MODE", "cheap")
     align = (max(b, kmod.KEY_BLOCK)
-             if (cohsort and key_mode != "cheap") else b)
+             if (cohsort and KEY_MODE != "cheap") else b)
     n_pad = ((n_rays + align - 1) // align) * align
     nb = n_pad // b
 

@@ -24,8 +24,9 @@ practical interchange:
                    every object, Z-up rotated to Y-up, faceted normals
 - .fbx             FBX 7.x binary: Geometry Vertices/PolygonVertexIndex
                    (fan-triangulated), ByPolygonVertex/ByVertice normal
-                   and UV layers, zlib-compressed arrays; ASCII FBX and
-                   node transforms are not handled
+                   and UV layers, zlib-compressed arrays, GlobalSettings
+                   UpAxis=Z rotated to Y-up; ASCII FBX and node
+                   transforms are not handled
 
 All loaders return the same dict as parse_obj (verts/normals/uvs/indices,
 float32/int32), V texture coordinate flipped like assimp FlipUVs, missing
@@ -645,7 +646,13 @@ def parse_fbx(path: str) -> dict:
     a polygon; polygons fan-triangulated like assimp's Triangulate),
     with per-polygon-vertex or per-vertex LayerElementNormal/LayerElementUV
     when present. Zlib-compressed arrays supported. ASCII FBX is not
-    (export binary, or another supported format)."""
+    (export binary, or another supported format).
+
+    GlobalSettings UpAxis=2 (Z-up, the common 3ds Max export) rotates
+    into the renderer's Y-up frame like the DAE/3DS loaders;
+    UnitScaleFactor is NOT applied (no loader rescales — meshes are
+    placed via the scene transform, matching the reference's raw
+    aiMesh read, mesh.cpp:63-115)."""
     data = open(path, "rb").read()
     if not data.startswith(b"Kaydara FBX Binary"):
         raise ValueError(
@@ -663,10 +670,21 @@ def parse_fbx(path: str) -> dict:
         return [n for n in nodes if n[0] == name]
 
     objects = []
+    up_axis = 1  # FBX default: Y-up
     for name, props, children in roots:
         if name == "Objects":
             objects = children
-            break
+        elif name == "GlobalSettings":
+            for cname, _, cch in children:
+                if cname != "Properties70":
+                    continue
+                for gname, gprops, _ in cch:
+                    if (gname == "P" and gprops
+                            and gprops[0] == b"UpAxis"):
+                        ints = [p for p in gprops
+                                if isinstance(p, int)]
+                        if ints:
+                            up_axis = ints[-1]
 
     all_v, all_n, all_uv = [], [], []
     for name, props, children in find_all(objects, "Geometry"):
@@ -731,9 +749,15 @@ def parse_fbx(path: str) -> dict:
         else:
             n = _faceted_normals(v.astype(np.float32))
         if uv is not None and uv_map == b"ByPolygonVertex":
-            t = (uv[uv_idx[corners]] if uv_idx is not None
-                 and len(uv_idx) == len(idx) else
-                 uv[corners] if len(uv) == len(idx) else None)
+            if uv_idx is not None and len(uv_idx) == len(idx):
+                # UVIndex entries of -1 are legal (corners without UVs);
+                # they must map to a (0,0) default, not wrap to uv[-1]
+                ui = uv_idx[corners]
+                t = np.where(ui[:, None] < 0, 0.0, uv[np.maximum(ui, 0)])
+            elif len(uv) == len(idx):
+                t = uv[corners]
+            else:
+                t = None
         elif uv is not None and uv_map in by_vert \
                 and len(uv) == len(verts):
             t = uv[vidx]
@@ -751,5 +775,8 @@ def parse_fbx(path: str) -> dict:
     v = np.concatenate(all_v)
     n = np.concatenate(all_n)
     t = np.concatenate(all_uv)
+    if up_axis == 2:  # Z-up -> Y-up: (x, y, z) -> (x, z, -y), like assimp
+        v = np.stack([v[:, 0], v[:, 2], -v[:, 1]], axis=1)
+        n = np.stack([n[:, 0], n[:, 2], -n[:, 1]], axis=1)
     i = np.arange(len(v), dtype=np.int32).reshape(-1, 3)
     return {"verts": v, "normals": n, "uvs": t, "indices": i}

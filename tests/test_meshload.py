@@ -451,3 +451,96 @@ def test_fbx_trailing_unterminated_corners_dropped(tmp_path):
     p.write_bytes(data)
     m = meshload.load_mesh(str(p))
     assert m["indices"].shape == (1, 3)  # junk dropped, one triangle
+
+
+def _fbx_build(name, props=(), children_spec=()):
+    """FBX 7.4 node-record builder for fixture files (f8/i8 arrays
+    zlib-compressed, bytes as S, ints as I)."""
+    def at(offset):
+        import zlib
+        name_b = name.encode()
+        pb = b""
+        for p in props:
+            if isinstance(p, np.ndarray):
+                tc = {"f8": b"d", "i8": b"l"}[p.dtype.str[1:]]
+                comp = zlib.compress(p.tobytes())
+                pb += tc + struct.pack("<III", p.size, 1, len(comp)) + comp
+            elif isinstance(p, bytes):
+                pb += b"S" + struct.pack("<I", len(p)) + p
+            elif isinstance(p, int):
+                pb += b"I" + struct.pack("<i", p)
+        body_off = offset + 13 + len(name_b) + len(pb)
+        cb = b""
+        o = body_off
+        for spec in children_spec:
+            c = spec(o); cb += c; o += len(c)
+        if children_spec:
+            cb += b"\0" * 13
+        end = offset + 13 + len(name_b) + len(pb) + len(cb)
+        return (struct.pack("<III", end, len(props), len(pb))
+                + bytes([len(name_b)]) + name_b + pb + cb)
+    return at
+
+
+def _fbx_file(tmp_path, fname, *top_nodes):
+    header = b"Kaydara FBX Binary  \x00\x1a\x00" + struct.pack("<I", 7400)
+    data = header
+    for node in top_nodes:
+        data += node(len(data))
+    data += b"\0" * 13
+    p = tmp_path / fname
+    p.write_bytes(data)
+    return str(p)
+
+
+def test_fbx_uvindex_negative_defaults_to_zero(tmp_path):
+    """UVIndex entries of -1 (corners without UVs, legal FBX) must map to
+    the (0,0) default, not wrap around to uv[-1] (advisor r4)."""
+    verts = np.asarray([0, 0, 0, 1, 0, 0, 1, 1, 0], np.float64)
+    pvi = np.asarray([0, 1, ~2], np.int64)
+    uv = np.asarray([0.25, 0.5, 0.75, 0.25], np.float64)  # 2 UV coords
+    uvidx = np.asarray([0, -1, 1], np.int64)              # corner 1: no UV
+    geom = _fbx_build("Geometry", (), (
+        _fbx_build("Vertices", (verts,)),
+        _fbx_build("PolygonVertexIndex", (pvi,)),
+        _fbx_build("LayerElementUV", (), (
+            _fbx_build("UV", (uv,)),
+            _fbx_build("UVIndex", (uvidx,)),
+            _fbx_build("MappingInformationType", (b"ByPolygonVertex",)),
+        )),
+    ))
+    path = _fbx_file(tmp_path, "neguv.fbx",
+                     _fbx_build("Objects", (), (geom,)))
+    m = meshload.load_mesh(path)
+    # corner 0 -> uv[0]=(0.25,0.5) -> V-flipped (0.25, 0.5)
+    np.testing.assert_allclose(m["uvs"][0], [0.25, 0.5], atol=1e-6)
+    # corner 1 -> masked to (0,0) -> V-flipped (0, 1); NOT uv[-1]
+    np.testing.assert_allclose(m["uvs"][1], [0.0, 1.0], atol=1e-6)
+    # corner 2 -> uv[1]=(0.75,0.25) -> V-flipped (0.75, 0.75)
+    np.testing.assert_allclose(m["uvs"][2], [0.75, 0.75], atol=1e-6)
+
+
+def test_fbx_zup_rotated_to_yup(tmp_path):
+    """GlobalSettings UpAxis=2 (Z-up, 3ds Max convention) rotates into the
+    renderer's Y-up frame like the DAE/3DS loaders: (x,y,z)->(x,z,-y)."""
+    verts = np.asarray([0, 0, 0, 1, 0, 0, 0, 2, 3], np.float64)
+    pvi = np.asarray([0, 1, ~2], np.int64)
+    gs = _fbx_build("GlobalSettings", (), (
+        _fbx_build("Properties70", (), (
+            _fbx_build("P", (b"UpAxis", b"int", b"Integer", b"", 2)),
+            _fbx_build("P", (b"UpAxisSign", b"int", b"Integer", b"", 1)),
+        )),
+    ))
+    geom = _fbx_build("Geometry", (), (
+        _fbx_build("Vertices", (verts,)),
+        _fbx_build("PolygonVertexIndex", (pvi,)),
+    ))
+    path = _fbx_file(tmp_path, "zup.fbx", gs,
+                     _fbx_build("Objects", (), (geom,)))
+    m = meshload.load_mesh(path)
+    np.testing.assert_allclose(m["verts"][2], [0.0, 3.0, -2.0], atol=1e-6)
+    # and without GlobalSettings the same file stays un-rotated
+    path2 = _fbx_file(tmp_path, "yup.fbx",
+                      _fbx_build("Objects", (), (geom,)))
+    m2 = meshload.load_mesh(path2)
+    np.testing.assert_allclose(m2["verts"][2], [0.0, 2.0, 3.0], atol=1e-6)
