@@ -45,6 +45,7 @@ def main() -> int:
         "teapot": "teapot_scene.yaml",
         "cornell": "cornell_box.yaml",
         "balls": "scattered_balls.yaml",
+        "teapot_hires": "teapot_hires.yaml",
     }.get(which, "teapot_scene.yaml")
     width = height = int(os.environ.get("BENCH_SIZE", "640"))
     samples = int(os.environ.get("BENCH_SPP", "100"))

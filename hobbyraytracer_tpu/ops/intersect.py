@@ -663,7 +663,13 @@ def intersect_mesh_clustered_pallas(rays: Rays, tri_verts, tri_id, bmin,
         # callers that already sorted the wavefront (integrator/wavefront
         # presorts the whole lane pool once per segment) pass False
         cohsort = not NO_COHSORT
-    b = kmod.BLOCK
+    # oversized meshes run the HBM-streaming kernel, which wants much
+    # smaller ray blocks (see kernels.STREAM_BLOCK)
+    streaming = ((tri_soa is not None
+                  and tri_soa.shape[1] == kmod.STREAM_ROWS)
+                 or (tri_soa is None
+                     and not kmod.mesh_fits_vmem(k_clusters, leaf)))
+    b = kmod.STREAM_BLOCK if streaming else kmod.BLOCK
     # only the (non-default) Pallas keys kernel needs KEY_BLOCK alignment
     align = (max(b, kmod.KEY_BLOCK)
              if (cohsort and KEY_MODE != "cheap") else b)
@@ -682,6 +688,10 @@ def intersect_mesh_clustered_pallas(rays: Rays, tri_verts, tri_id, bmin,
         if tri_uvs is None:
             tri_uvs = jnp.zeros((k_clusters, leaf, 3, 2), jnp.float32)
         tri_soa = kmod.pack_mesh_soa(tri_verts, tri_normals, tri_uvs)
+        if not kmod.mesh_fits_vmem(k_clusters, leaf):
+            # oversized mesh: repack for the HBM-streaming kernel (ids
+            # embedded as a bitcast row; see kernels.pack_mesh_stream)
+            tri_soa = kmod.pack_mesh_stream(tri_soa, tri_id)
     if bounds8 is None:
         bounds8 = kmod.pack_bounds(bmin, bmax)
 

@@ -361,6 +361,12 @@ def _mesh_geom(m, mat_id) -> ir.MeshGeom:
             jnp.asarray(cl["tri_verts"]),
             jnp.asarray(np.asarray(m["normals"], np.float32)[corner]),
             jnp.asarray(np.asarray(m["uvs"], np.float32)[corner]))
+        k, leaf = cl["tri_id"].shape
+        if not kmod.mesh_fits_vmem(k, leaf):
+            # too big for the VMEM-resident kernel: repack for the
+            # HBM-streaming variant (ids embedded as a bitcast row)
+            tri_soa = kmod.pack_mesh_stream(tri_soa,
+                                            jnp.asarray(cl["tri_id"]))
         geom = geom.replace(
             cluster_id=jnp.asarray(cl["tri_id"]),
             cluster_bmin=jnp.asarray(cl["bmin"]),

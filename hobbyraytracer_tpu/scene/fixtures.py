@@ -75,11 +75,15 @@ def ensure_assets(asset_dir: str = ASSET_DIR) -> dict:
         except ValueError:
             pass
     teapot_path = os.path.join(asset_dir, "teapot.obj")
+    hires_path = os.path.join(asset_dir, "teapot_hires.obj")
     hall_path = os.path.join(asset_dir, "hall.hdr")
     sky_path = os.path.join(asset_dir, "sky.hdr")
     if not os.path.exists(teapot_path):
         from .procgen import ensure_asset_obj
         ensure_asset_obj(teapot_path, "teapot")
+    if not os.path.exists(hires_path):
+        from .procgen import ensure_asset_obj
+        ensure_asset_obj(hires_path, "teapot_hires")
     if stale or not os.path.exists(hall_path):
         from ..io import hdr
         hdr.write_hdr(hall_path, hall_environment())
@@ -89,4 +93,5 @@ def ensure_assets(asset_dir: str = ASSET_DIR) -> dict:
     if stale:
         with open(ver_path, "w") as fh:
             fh.write(str(FIXTURE_VERSION))
-    return {"teapot": teapot_path, "hall": hall_path, "sky": sky_path}
+    return {"teapot": teapot_path, "teapot_hires": hires_path,
+            "hall": hall_path, "sky": sky_path}

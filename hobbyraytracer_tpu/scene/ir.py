@@ -176,24 +176,23 @@ def _resolve_mesh_backend(backend: str, mesh: MeshGeom) -> Tuple[str, bool]:
     import logging
     import os
 
-    from ..kernels import mesh_fits_vmem
+    from ..kernels import mesh_fits_stream, mesh_fits_vmem
     if backend not in ("auto", "auto_diff"):
         return backend, False
     pallas_name = "pallas_replay" if backend == "auto_diff" else "pallas"
     if os.environ.get("HRT_NO_PALLAS"):
         return "xla", False
     k, leaf = mesh.cluster_id.shape
-    if not mesh_fits_vmem(k, leaf):
-        # observable degradation: the fused kernel needs the mesh resident
-        # in VMEM; oversized meshes silently losing 4x throughput is the
-        # kind of surprise a long render should warn about (once per shape)
+    if not mesh_fits_vmem(k, leaf) and not mesh_fits_stream(k, leaf):
+        # beyond even the streaming kernel (~16M tris at leaf 128): the
+        # XLA traversal is the only remaining path — warn, it is ~5x
+        # slower (once per shape)
         if (k, leaf) not in _VMEM_FALLBACK_WARNED:
             _VMEM_FALLBACK_WARNED.add((k, leaf))
             logging.getLogger(__name__).warning(
-                "mesh with %d clusters x %d-tri leaves exceeds the Pallas "
-                "kernel's VMEM budget; falling back to the XLA traversal "
-                "(slower). Rebuild with a larger leaf size or split the "
-                "mesh to restore the fused kernel.", k, leaf)
+                "mesh with %d clusters x %d-tri leaves exceeds even the "
+                "streaming kernel's VMEM budget; falling back to the XLA "
+                "traversal (slower).", k, leaf)
         return "xla", False
     if os.environ.get("HRT_PALLAS_INTERPRET"):
         return pallas_name, True
@@ -233,6 +232,9 @@ def refresh_kernel_tables(m: MeshGeom) -> MeshGeom:
     tmin = jnp.where(pad, BIG, tri_verts.min(axis=2)).min(axis=1) - 1e-4
     tmax = jnp.where(pad, -BIG, tri_verts.max(axis=2)).max(axis=1) + 1e-4
     soa = kmod.pack_mesh_soa(tri_verts, m.normals[corner], m.uvs[corner])
+    k, leaf = m.cluster_id.shape
+    if not kmod.mesh_fits_vmem(k, leaf):
+        soa = kmod.pack_mesh_stream(soa, m.cluster_id)
     return m.replace(tri_soa=soa, bounds8=kmod.pack_bounds(tmin, tmax),
                      cluster_bmin=tmin, cluster_bmax=tmax)
 

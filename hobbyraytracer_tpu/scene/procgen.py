@@ -208,12 +208,22 @@ def teapot(n_seg=44, n_profile=40, scale=1.0):
             "uvs": uvs.astype(np.float32), "indices": indices}
 
 
+def teapot_hires(scale=1.0):
+    """~105k-tri version of the teapot (n_seg=260, n_profile=200): the
+    streaming-kernel benchmark mesh — far past the VMEM-resident
+    kernel's ~45k-tri ceiling (kernels.mesh_fits_vmem), proving the
+    HBM-streaming traversal at the scale the reference's recursive BVH
+    (bvh.cpp:6-78) handles without special-casing."""
+    return teapot(n_seg=260, n_profile=200, scale=scale)
+
+
 def ensure_asset_obj(path: str, kind: str = "teapot") -> str:
     """Write the procedural mesh as an OBJ file if missing; returns path."""
     import os
     if not os.path.exists(path):
         from .objloader import write_obj
-        m = {"teapot": teapot, "sphere": uv_sphere, "box": box_mesh}[kind]()
+        m = {"teapot": teapot, "teapot_hires": teapot_hires,
+             "sphere": uv_sphere, "box": box_mesh}[kind]()
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         write_obj(path, m["verts"], m["indices"], m["normals"], m["uvs"])
     return path

@@ -114,7 +114,9 @@ def main():
         from hobbyraytracer_tpu.kernels import mesh_traverse as kmod
         rm = tf.ray_to_object(r) if tf is not None else r
         n = pool
-        b = kmod.BLOCK
+        # streaming meshes (32-row tables) run at STREAM_BLOCK
+        b = (kmod.STREAM_BLOCK
+             if mesh.tri_soa.shape[1] == kmod.STREAM_ROWS else kmod.BLOCK)
         nb = n // b
         rays8 = jnp.concatenate(
             [rm.o, rm.d, active.astype(jnp.float32)[:, None],
@@ -144,6 +146,20 @@ def main():
 
         rows.append(("  cohsort (key+argsort+gather+undo)",
                      timeit(cohsort, rays8)))
+
+    if not scene.spheres.empty:
+        from hobbyraytracer_tpu.core import mathx
+        from hobbyraytracer_tpu.core.mathx import BIG as BIGC
+        from hobbyraytracer_tpu.ops import intersect as isect_ops
+
+        @jax.jit
+        def spheres_only(o, d):
+            return isect_ops.intersect_spheres(
+                Rays(o=o, d=d), scene.spheres.center, scene.spheres.radius,
+                scene.spheres.mat_id, mathx.T_MIN, BIGC)
+
+        rows.append((f"  sphere table ({scene.spheres.center.shape[0]})",
+                     timeit(spheres_only, state.o, state.d)))
 
     hits = isect_full(state.o, state.d, active)
     jax.block_until_ready(hits)

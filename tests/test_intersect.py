@@ -382,20 +382,22 @@ def test_native_obj_parse_matches_python():
 
 
 def test_vmem_fallback_triggers_and_renders_correctly(caplog):
-    """A mesh whose cluster table exceeds the Pallas VMEM budget must fall
-    back to the XLA traversal (with a warning) and still intersect exactly.
-    Clusters beyond the real geometry are -1 padding, so the table is huge
-    while the actual work stays test-sized."""
+    """A mesh whose cluster count exceeds even the STREAMING kernel's
+    VMEM budget (bounds + per-ray entry matrix; round 5 — the resident
+    ceiling now routes to the streaming kernel instead of XLA) must fall
+    back to the XLA traversal (with a warning) and still intersect
+    exactly. Clusters beyond the real geometry are -1 padding, so the
+    table is huge while the actual work stays test-sized."""
     import logging
 
-    from hobbyraytracer_tpu.kernels import mesh_fits_vmem
+    from hobbyraytracer_tpu.kernels import mesh_fits_stream
     from hobbyraytracer_tpu.scene import ir as scene_ir
 
     verts, idx = _random_mesh(11, n_tris=100)
     tv, tid, bmin, bmax = _bvh_tables(verts, idx, leaf_size=16)
     k, leaf = tid.shape
     k_big = k
-    while mesh_fits_vmem(k_big, leaf):
+    while mesh_fits_stream(k_big, leaf):
         k_big *= 2
     pad_k = k_big - k
     tid_big = jnp.concatenate(

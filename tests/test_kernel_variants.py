@@ -63,6 +63,11 @@ def _assert_matches(ref, var, name):
     ("key_pallas", {"HRT_KEY_MODE": "pallas"}),
     ("no_cohsort", {"HRT_NO_COHSORT": "1"}),
     ("block_256", {"HRT_BLOCK": "256"}),
+    # route the small test mesh through the HBM-streaming kernel,
+    # including the K -> STREAM_KC bounds padding
+    ("force_stream", {"HRT_FORCE_STREAM": "1"}),
+    ("stream_block_64", {"HRT_FORCE_STREAM": "1",
+                         "HRT_STREAM_BLOCK": "64"}),
 ])
 def test_variant_matches_default(tmp_path, name, env):
     ref = _baseline(tmp_path)

@@ -1,6 +1,8 @@
 """Pallas kernel parity: the fused traversal/intersection kernel
 (kernels/mesh_traverse.py) must agree with the XLA exact traversal
 (ops/intersect.py:intersect_mesh_clustered) — interpreter mode on CPU."""
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -138,3 +140,59 @@ def test_pallas_full_scene_render_matches_xla():
                 tri_soa=mesh.tri_soa, bounds8=mesh.bounds8, need_uv=True)
             uv2 = np.asarray(uv2)[mesh_hit]
             assert (np.abs(uv2 - uv_x) < 2e-3).all(axis=1).mean() > 0.98
+
+
+def test_stream_kernel_matches_resident_bitwise():
+    """The HBM-streaming kernel (kernels._kernel_stream) must agree with
+    the VMEM-resident kernel EXACTLY — same visit policy, same math —
+    including when K is padded up to the STREAM_KC slab-chunk multiple
+    (the pad once produced entry-0 boxes and out-of-bounds cluster DMAs,
+    a real TPU fault; see _traverse_stream's pad comment)."""
+    import jax.numpy as jnp
+    from hobbyraytracer_tpu.kernels import mesh_traverse as kmod
+
+    verts, idx = _random_mesh(5, n_tris=900)   # K=8 << STREAM_KC: pads
+    tv, tid, bmin, bmax = _tables(verts, idx)
+    rng = np.random.default_rng(11)
+    nrm = rng.normal(0, 1, verts.shape).astype(np.float32)
+    uvs = rng.uniform(0, 1, (len(verts), 2)).astype(np.float32)
+    corner = idx[np.maximum(np.asarray(tid), 0)]
+    tn, tu = jnp.asarray(nrm[corner]), jnp.asarray(uvs[corner])
+    r = _rays(6, 700)
+    t_r, g_r, h_r, n_r, u_r = isect.intersect_mesh_clustered_pallas(
+        r, tv, tid, bmin, bmax, BIG, interpret=True,
+        tri_normals=tn, tri_uvs=tu)
+    soa = kmod.pack_mesh_soa(tv, tn, tu)
+    stream = kmod.pack_mesh_stream(soa, tid)
+    t_s, g_s, h_s, n_s, u_s = isect.intersect_mesh_clustered_pallas(
+        r, None, tid, bmin, bmax, BIG, interpret=True,
+        tri_soa=stream, bounds8=kmod.pack_bounds(bmin, bmax))
+    np.testing.assert_array_equal(np.asarray(h_s), np.asarray(h_r))
+    np.testing.assert_array_equal(np.asarray(t_s), np.asarray(t_r))
+    np.testing.assert_array_equal(np.asarray(g_s), np.asarray(g_r))
+    np.testing.assert_array_equal(np.asarray(n_s), np.asarray(n_r))
+    np.testing.assert_array_equal(np.asarray(u_s), np.asarray(u_r))
+
+
+def test_oversized_mesh_routes_to_stream_tables():
+    """A mesh past the resident kernel's VMEM ceiling must get 32-row
+    streaming tables from the scene build and still resolve to the
+    Pallas backend (round-4 verdict #1: no more silent ~5x XLA
+    fallback)."""
+    from hobbyraytracer_tpu.kernels import mesh_traverse as kmod
+    from hobbyraytracer_tpu.scene import ir as scene_ir
+    from hobbyraytracer_tpu.scene.build import _mesh_geom
+    from hobbyraytracer_tpu.scene.procgen import teapot
+
+    m = teapot(n_seg=160, n_profile=130)       # ~42k tris: > ceiling
+    geom = _mesh_geom(m, 0)
+    k, leaf = geom.cluster_id.shape
+    assert not kmod.mesh_fits_vmem(k, leaf)
+    assert kmod.mesh_fits_stream(k, leaf)
+    assert geom.tri_soa.shape[1] == kmod.STREAM_ROWS
+    os.environ["HRT_PALLAS_INTERPRET"] = "1"   # CPU: route as on-TPU
+    try:
+        backend, _ = scene_ir._resolve_mesh_backend("auto", geom)
+    finally:
+        del os.environ["HRT_PALLAS_INTERPRET"]
+    assert backend == "pallas"
