@@ -58,13 +58,12 @@ from ..ops.camera import Camera, get_rays
 from ..scene import ir as scene_ir
 from .path import MAX_DEPTH, background_colour
 
-# Pool-size sweep on the chip (round 3, teapot bench): 64k -> 4.30M,
-# 96k -> 4.37M, 128k -> 4.31M, 256k -> 3.63M, 512k -> 0.70M rays/s. The
-# per-segment irregular ops (coherence sort gather/scatter, retirement)
-# scale with P while their latency hides less well, and 512k falls off a
-# cliff (the (P,8) unsort scatter leaves its fast path). 128k sits on the
-# plateau with the widest margin to both edges.
-DEFAULT_POOL = 1 << 17   # 131,072 lanes
+# Pool-size sweep on the chip. Round 3 (BLOCK=1024): 64k/96k/128k ≈
+# 4.3M plateau, 256k -> 3.63M, 512k cliffs. Re-swept in round 5 at the
+# new BLOCK=256 + per-ray masked visiting (teapot, 100spp): 64k ->
+# 5.94M, 128k -> 6.31M, 192k -> 6.39M, 256k -> 5.35M; 192k also wins
+# on cornell (31.3M vs 29.1M) and hires (1.91M vs 1.86M), ties balls.
+DEFAULT_POOL = 196_608   # 1.5 * 2^17 lanes
 SAMPLE_CHUNK = int(os.environ.get("HRT_SAMPLE_CHUNK", "4"))
 # RETIRE_CAP divisor: cap = pool // RETIRE_DIV rows scattered per
 # segment. The three flat per-channel scatters scale with cap (16 ns/

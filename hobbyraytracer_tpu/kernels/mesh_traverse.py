@@ -60,10 +60,13 @@ from ..core.mathx import BIG
 
 import os
 
-# rays per traversal block. Swept on the chip (round 3): 256 -> 15.4 ms,
-# 512 -> 13.0, 1024 -> 11.6 per 262k sorted rays on the teapot scene;
-# 2048 blows the VMEM budget for the (B, L) intermediates.
-BLOCK = int(os.environ.get("HRT_BLOCK", "1024"))
+# rays per traversal block. Round-3 sweep favored 1024 under the
+# block-worst early-out; per-ray masked visiting (round 5) moves the
+# optimum DOWN — smaller blocks have smaller per-block cluster unions
+# and the masked scheme keeps their early-out exact. Teapot bench
+# sweep (round 5, 100spp): 128 -> 5.98M, 256 -> 6.29M, 512 -> 6.20M,
+# 1024 -> 5.97M rays/s. 2048 blows the VMEM budget.
+BLOCK = int(os.environ.get("HRT_BLOCK", "256"))
 # rays per coherence-key block. NOTE the (TB, K) slab intermediates pad K
 # up to a full 128-lane row, so VMEM cost is ~10 * TB * 128 * 4 B; 8192
 # blows the 16 MB scoped-vmem limit (measured), 2048 fits comfortably.

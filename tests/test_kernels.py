@@ -182,9 +182,9 @@ def test_oversized_mesh_routes_to_stream_tables():
     from hobbyraytracer_tpu.kernels import mesh_traverse as kmod
     from hobbyraytracer_tpu.scene import ir as scene_ir
     from hobbyraytracer_tpu.scene.build import _mesh_geom
-    from hobbyraytracer_tpu.scene.procgen import teapot
+    from hobbyraytracer_tpu.scene.procgen import teapot_hires
 
-    m = teapot(n_seg=160, n_profile=130)       # ~42k tris: > ceiling
+    m = teapot_hires()                         # ~105k tris: > ceiling
     geom = _mesh_geom(m, 0)
     k, leaf = geom.cluster_id.shape
     assert not kmod.mesh_fits_vmem(k, leaf)
