@@ -33,6 +33,12 @@ DEFAULT_CHUNK = 128
 KEY_MODE = os.environ.get("HRT_KEY_MODE", "cheap")
 # HRT_NO_COHSORT=1: skip the per-mesh coherence sort entirely.
 NO_COHSORT = bool(os.environ.get("HRT_NO_COHSORT"))
+# HRT_SPHERE_MXU=1: route the dense sphere scan's dot products through
+# the MXU (sphere_t_mxu) — measured slower on v5e, see intersect_spheres.
+SPHERE_MXU = os.environ.get("HRT_SPHERE_MXU", "0") != "0"
+# HRT_SPHERE_KERNEL=1: clustered Pallas sphere find — measured slower
+# than the dense scan at bench scale (see scene/ir.py routing comment).
+SPHERE_KERNEL = os.environ.get("HRT_SPHERE_KERNEL", "0") != "0"
 
 
 def _pad(x, n_padded: int, fill):
@@ -113,6 +119,51 @@ def sphere_uv(outward_normal):
     return jnp.stack([phi / (2.0 * jnp.pi), theta / jnp.pi], axis=-1)
 
 
+def _sphere_attribs(rays: Rays, center, radius, mat_id, t, idx) -> Hits:
+    """Hit record from a sphere find's (t, winning index): gather the
+    winner's params and recompute p/normal/uv (sphere.cpp:50-57)."""
+    n = center.shape[0]
+    hit = (t < BIG) & (idx >= 0)
+    safe = jnp.minimum(jnp.maximum(idx, 0), n - 1)
+    c = _take(center, safe)
+    r = jnp.maximum(_take(radius, safe), 1e-20)
+    p = ray_at(rays.o, rays.d, jnp.where(hit, t, 1.0))
+    outward = (p - c) / r[:, None]
+    normal, front = set_face_normal(rays.d, outward)
+    return Hits(hit=hit, t=jnp.where(hit, t, BIG), p=p, normal=normal,
+                uv=sphere_uv(outward), front_face=front,
+                mat_id=jnp.where(hit, _take(mat_id, safe), -1))
+
+
+def sphere_t_mxu(rays: Rays, center, r2_minus, od, oo, a, inv_a,
+                 t_min, t_max):
+    """sphere_t with the rank-3 dot products on the MXU: oc.d = o.d -
+    c.d and |oc|^2 = |o|^2 - 2 c.o + |c|^2, where c.d and c.o are
+    (R,3)x(3,S) matmuls — removing ~14 of the ~32 VPU ops per
+    (ray, sphere) pair the expanded form pays. Precision HIGHEST: the
+    default truncates f32 MXU inputs to bf16 (~0.4% relative — coarser
+    than the hit window for distant small spheres).
+
+    center: (S,3); r2_minus: (S,) = |c|^2 - r^2; od/oo/a/inv_a: (R,)
+    precomputed per-ray quantities. Returns (R,S) candidate t."""
+    mm = lambda x, y: jax.lax.dot_general(
+        x, y, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    cd = mm(rays.d, center)                      # (R,S) c.d
+    co = mm(rays.o, center)                      # (R,S) c.o
+    half_b = od[:, None] - cd
+    cc = (oo[:, None] - 2.0 * co) + r2_minus[None, :]
+    disc = half_b * half_b - a[:, None] * cc
+    sqrtd = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
+    r1 = (-half_b - sqrtd) * inv_a[:, None]
+    r2 = (-half_b + sqrtd) * inv_a[:, None]
+    in1 = (r1 >= t_min) & (r1 <= t_max)
+    in2 = (r2 >= t_min) & (r2 <= t_max)
+    root = jnp.where(in1, r1, jnp.where(in2, r2, BIG))
+    return jnp.where(disc > 0.0, root, BIG)
+
+
 def intersect_spheres(rays: Rays, center, radius, mat_id, t_min, t_max,
                       chunk: int = DEFAULT_CHUNK) -> Hits:
     n_rays = rays.o.shape[0]
@@ -123,23 +174,90 @@ def intersect_spheres(rays: Rays, center, radius, mat_id, t_min, t_max,
     np_ = ((n + chunk - 1) // chunk) * chunk
     center_p = _pad(center, np_, 1e30)  # far away: disc < 0, never hits
     radius_p = _pad(radius, np_, 0.0)
+    if SPHERE_MXU:
+        # measured SLOWER on the chip (balls bench 3.80M vs 4.39M
+        # rays/s) — the HIGHEST-precision matmuls cost more than the
+        # VPU ops they displace at these sizes; kept as a knob for
+        # chips with different f32-matmul economics (PERF.md round 5)
+        r2_minus = (jnp.sum(center_p * center_p, axis=1)
+                    - radius_p * radius_p)
+        od = jnp.sum(rays.o * rays.d, axis=1)
+        oo = jnp.sum(rays.o * rays.o, axis=1)
+        a = jnp.sum(rays.d * rays.d, axis=1)
+        inv_a = 1.0 / a
 
-    def per_chunk(start):
-        c = jax.lax.dynamic_slice_in_dim(center_p, start, chunk, 0)
-        r = jax.lax.dynamic_slice_in_dim(radius_p, start, chunk, 0)
-        return sphere_t(rays, c, r, t_min, t_max)
+        def per_chunk(start):
+            c = jax.lax.dynamic_slice_in_dim(center_p, start, chunk, 0)
+            rm = jax.lax.dynamic_slice_in_dim(r2_minus, start, chunk, 0)
+            return sphere_t_mxu(rays, c, rm, od, oo, a, inv_a,
+                                t_min, t_max)
+    else:
+        def per_chunk(start):
+            c = jax.lax.dynamic_slice_in_dim(center_p, start, chunk, 0)
+            r = jax.lax.dynamic_slice_in_dim(radius_p, start, chunk, 0)
+            return sphere_t(rays, c, r, t_min, t_max)
 
     t, idx = _chunked_argmin(per_chunk, np_, n_rays, chunk)
-    hit = t < BIG
+    return _sphere_attribs(rays, center, radius, mat_id, t, idx)
+
+
+def intersect_spheres_clustered(rays: Rays, center, radius, mat_id,
+                                kernel_table, kernel_bounds, kernel_ids,
+                                t_min, t_max, ray_valid=None,
+                                interpret: bool = False) -> Hits:
+    """Sphere intersection via the clustered Pallas kernel
+    (kernels/sphere_traverse.py): per ray-block cluster slab tests +
+    per-ray masked visiting replace the dense (rays x S) scan — the
+    scattered-balls scene pays ~1 ms instead of ~8 ms per segment
+    (PERF.md round 5). Semantics match intersect_spheres exactly
+    (sphere.cpp:20-49 root preference incl. the t window).
+
+    Differentiable replay: the kernel FIND (winning sphere id) runs on
+    stop-gradiented rays; t is recomputed from the winner's
+    center/radius with the same half-b quadratic, so center/radius/ray
+    gradients flow exactly like the dense path's.
+    """
+    from ..kernels import sphere_traverse as skmod
+
+    n_rays = rays.o.shape[0]
+    sg = jax.lax.stop_gradient
+    b = skmod.BLOCK
+    n_pad = ((n_rays + b - 1) // b) * b
+    if ray_valid is None:
+        ray_valid = jnp.ones((n_rays,), jnp.bool_)
+    rays8 = jnp.concatenate(
+        [_pad(sg(rays.o), n_pad, 0.0), _pad(sg(rays.d), n_pad, 1.0),
+         _pad(ray_valid, n_pad, False).astype(jnp.float32)[:, None],
+         jnp.zeros((n_pad, 1), jnp.float32)], axis=1)
+    t_nd, idx = skmod.intersect_spheres_pallas(
+        rays8.reshape(-1, b, 8), kernel_bounds, kernel_table, kernel_ids,
+        t_min=float(t_min), t_max=float(t_max), interpret=interpret)
+    t_nd = t_nd.reshape(-1)[:n_rays]
+    idx = idx.reshape(-1)[:n_rays]
+
+    # replay the winner's quadratic differentiably (safe-where guards
+    # exactly as sphere_t's)
+    n = center.shape[0]
     safe = jnp.minimum(jnp.maximum(idx, 0), n - 1)
     c = _take(center, safe)
-    r = jnp.maximum(_take(radius, safe), 1e-20)
-    p = ray_at(rays.o, rays.d, jnp.where(hit, t, 1.0))
-    outward = (p - c) / r[:, None]
-    normal, front = set_face_normal(rays.d, outward)
-    return Hits(hit=hit, t=jnp.where(hit, t, BIG), p=p, normal=normal,
-                uv=sphere_uv(outward), front_face=front,
-                mat_id=jnp.where(hit, _take(mat_id, safe), -1))
+    r = _take(radius, safe)
+    oc = rays.o - c
+    a = jnp.sum(rays.d * rays.d, axis=-1)
+    half_b = jnp.sum(oc * rays.d, axis=-1)
+    cc = jnp.sum(oc * oc, axis=-1) - r * r
+    disc = half_b * half_b - a * cc
+    sqrtd = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
+    inv_a = 1.0 / a
+    r1 = (-half_b - sqrtd) * inv_a
+    r2 = (-half_b + sqrtd) * inv_a
+    in1 = (r1 >= t_min) & (r1 <= t_max)
+    in2 = (r2 >= t_min) & (r2 <= t_max)
+    t_rep = jnp.where(in1, r1, jnp.where(in2, r2, BIG))
+    t_rep = jnp.where(disc > 0.0, t_rep, BIG)
+    # grazing hits can numerically miss on replay: keep the kernel's t
+    t = jnp.where((idx >= 0) & (t_rep < BIG), t_rep,
+                  jnp.where(idx >= 0, sg(t_nd), BIG))
+    return _sphere_attribs(rays, center, radius, mat_id, t, idx)
 
 
 # ------------------------------------------------------------------ rects

@@ -307,12 +307,25 @@ def build_scene(desc: SceneDesc) -> RenderJob:
                     bmin=jnp.asarray(b["min"], jnp.float32),
                     bmax=jnp.asarray(b["max"], jnp.float32), **common))
 
+    sphere_table = ir.SphereTable(
+        center=jnp.asarray(np.asarray(pooled_spheres["center"],
+                                      np.float32).reshape(-1, 3)),
+        radius=jnp.asarray(pooled_spheres["radius"], jnp.float32),
+        mat_id=jnp.asarray(pooled_spheres["mat_id"], jnp.int32))
+    if sphere_table.center.shape[0] >= SPHERE_CLUSTER_MIN:
+        # big sphere pools get the clustered Pallas find (>= 2 clusters
+        # of 128; below that the dense scan is already cheap)
+        from .bvh import build_sphere_clusters
+        sc = build_sphere_clusters(
+            np.asarray(pooled_spheres["center"], np.float32).reshape(-1, 3),
+            np.asarray(pooled_spheres["radius"], np.float32))
+        sphere_table = sphere_table.replace(
+            kernel_table=jnp.asarray(sc["table"]),
+            kernel_bounds=jnp.asarray(sc["bounds8"]),
+            kernel_ids=jnp.asarray(sc["ids"]))
+
     scene = ir.SceneIR(
-        spheres=ir.SphereTable(
-            center=jnp.asarray(np.asarray(pooled_spheres["center"],
-                                          np.float32).reshape(-1, 3)),
-            radius=jnp.asarray(pooled_spheres["radius"], jnp.float32),
-            mat_id=jnp.asarray(pooled_spheres["mat_id"], jnp.int32)),
+        spheres=sphere_table,
         rects=_rect_table_from_pool(pooled_rects),
         instances=tuple(instances),
         media=tuple(media),
@@ -331,6 +344,9 @@ def build_scene(desc: SceneDesc) -> RenderJob:
 # meshes below this triangle count use the dense brute-force path (the
 # fixed per-bounce cull cost isn't worth it)
 BVH_MIN_TRIS = 64
+# pooled sphere tables at or above this count get the clustered Pallas
+# find (kernels/sphere_traverse.py); smaller pools keep the dense scan
+SPHERE_CLUSTER_MIN = 129
 # leaf size 128 = one full VPU lane row per (ray, leaf-triangle) op
 BVH_LEAF_SIZE = 128
 

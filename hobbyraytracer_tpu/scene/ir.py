@@ -67,6 +67,15 @@ class SphereTable:
     center: jnp.ndarray  # (S,3)
     radius: jnp.ndarray  # (S,)
     mat_id: jnp.ndarray  # (S,)
+    # Pallas sphere-kernel tables (scene/bvh.py:build_sphere_clusters),
+    # built at scene build for S >= SPHERE_CLUSTER_MIN: median-split
+    # clusters of 128 with per-ray masked visiting replace the dense
+    # (rays x S) scan on the forward path (~8 ms -> ~1 ms of the
+    # scattered-balls segment, PERF.md round 5). The find is replayed
+    # differentiably from the winning id, so fits use it too.
+    kernel_table: Optional[jnp.ndarray] = None   # (K,8,L) f32
+    kernel_bounds: Optional[jnp.ndarray] = None  # (8,K) f32
+    kernel_ids: Optional[jnp.ndarray] = None     # (K,L) int32
 
     @property
     def empty(self):
@@ -200,6 +209,19 @@ def _resolve_mesh_backend(backend: str, mesh: MeshGeom) -> Tuple[str, bool]:
     if platforms & {"tpu", "axon"}:
         return pallas_name, False
     return "xla", False
+
+
+def _pallas_platform() -> Tuple[bool, bool]:
+    """(usable, interpret) for Pallas kernels on the current backend —
+    the platform half of _resolve_mesh_backend's policy, shared with
+    the sphere-kernel routing."""
+    import os
+    if os.environ.get("HRT_NO_PALLAS"):
+        return False, False
+    if os.environ.get("HRT_PALLAS_INTERPRET"):
+        return True, True
+    platforms = {d.platform.lower() for d in jax.devices()}
+    return bool(platforms & {"tpu", "axon"}), False
 
 
 def refresh_kernel_tables(m: MeshGeom) -> MeshGeom:
@@ -467,9 +489,26 @@ def intersect_scene(scene: SceneIR, rays: Rays, key, bounce,
     n = rays.o.shape[0]
     best = Hits.none(n)
     if not scene.spheres.empty:
-        best = closer(best, isect.intersect_spheres(
-            rays, scene.spheres.center, scene.spheres.radius,
-            scene.spheres.mat_id, t_min, BIG))
+        sp = scene.spheres
+        # OPT-IN (HRT_SPHERE_KERNEL=1): on the 485-ball bench the
+        # clustered kernel measured BELOW the dense scan (3.77M vs
+        # 4.32M rays/s — at K=4 clusters there is little to prune and
+        # the per-visit scalar control costs; PERF.md round 5). Kept
+        # for much larger sphere pools where K grows.
+        use_kernel = (isect.SPHERE_KERNEL
+                      and sp.kernel_table is not None
+                      and mesh_backend in ("auto", "auto_diff"))
+        if use_kernel:
+            ok, interp = _pallas_platform()
+            use_kernel = ok
+        if use_kernel:
+            best = closer(best, isect.intersect_spheres_clustered(
+                rays, sp.center, sp.radius, sp.mat_id, sp.kernel_table,
+                sp.kernel_bounds, sp.kernel_ids, t_min, BIG,
+                ray_valid=ray_valid, interpret=interp))
+        else:
+            best = closer(best, isect.intersect_spheres(
+                rays, sp.center, sp.radius, sp.mat_id, t_min, BIG))
     if not scene.rects.empty:
         rt = scene.rects
         best = closer(best, isect.intersect_rects(

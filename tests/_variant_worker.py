@@ -53,9 +53,47 @@ def main() -> int:
         r, tv, tid, bmin, bmax, BIG, interpret=True,
         tri_normals=jnp.asarray(nrm[corner]),
         tri_uvs=jnp.asarray(uvs[corner]))
+
+    # sphere path through the FULL scene routing (covers the
+    # HRT_SPHERE_KERNEL / HRT_SPHERE_MXU knobs end-to-end)
+    os.environ["HRT_PALLAS_INTERPRET"] = "1"
+    from hobbyraytracer_tpu.ops import shade as shade_ops
+    from hobbyraytracer_tpu.ops import texture as tex_ops
+    from hobbyraytracer_tpu.scene import ir as scene_ir
+    from hobbyraytracer_tpu.scene.bvh import build_sphere_clusters
+
+    s_n = 300
+    s_center = rng.uniform(-8, 8, (s_n, 3)).astype(np.float32)
+    s_radius = rng.uniform(0.2, 1.0, (s_n,)).astype(np.float32)
+    sc = build_sphere_clusters(s_center, s_radius)
+    spheres = scene_ir.SphereTable(
+        center=jnp.asarray(s_center), radius=jnp.asarray(s_radius),
+        mat_id=jnp.zeros((s_n,), jnp.int32),
+        kernel_table=jnp.asarray(sc["table"]),
+        kernel_bounds=jnp.asarray(sc["bounds8"]),
+        kernel_ids=jnp.asarray(sc["ids"]))
+    scene = scene_ir.SceneIR(
+        spheres=spheres,
+        rects=scene_ir.RectTable(
+            axis=jnp.zeros((0,), jnp.int32),
+            a0=jnp.zeros((0,), jnp.float32),
+            a1=jnp.zeros((0,), jnp.float32),
+            b0=jnp.zeros((0,), jnp.float32),
+            b1=jnp.zeros((0,), jnp.float32),
+            k=jnp.zeros((0,), jnp.float32),
+            mat_id=jnp.zeros((0,), jnp.int32)),
+        instances=(), media=(),
+        materials=shade_ops.build_table([{}]),
+        textures=tex_ops.build_table(
+            [{"type": 0, "solid": (1.0, 1.0, 1.0)}]),
+        background_tex=jnp.asarray(0, jnp.int32))
+    h = scene_ir.intersect_scene(scene, r, jax.random.PRNGKey(0), 0,
+                                 mesh_backend="auto")
     np.savez(out_path, t=np.asarray(t), gid=np.asarray(gid),
              hit=np.asarray(hit), normal=np.asarray(normal),
-             uv=np.asarray(uv))
+             uv=np.asarray(uv),
+             s_t=np.asarray(h.t), s_hit=np.asarray(h.hit),
+             s_normal=np.asarray(h.normal))
     return 0
 
 

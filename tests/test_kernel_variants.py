@@ -19,10 +19,11 @@ _WORKER = os.path.join(os.path.dirname(__file__), "_variant_worker.py")
 def _run_variant(tmp_path, name, env_overrides):
     out = tmp_path / f"{name}.npz"
     env = dict(os.environ)
-    env.pop("HRT_MXU_PICK", None)
-    env.pop("HRT_KEY_MODE", None)
-    env.pop("HRT_NO_COHSORT", None)
-    env.pop("HRT_BLOCK", None)
+    for knob in ("HRT_MXU_PICK", "HRT_KEY_MODE", "HRT_NO_COHSORT",
+                 "HRT_BLOCK", "HRT_FORCE_STREAM", "HRT_STREAM_BLOCK",
+                 "HRT_SPHERE_KERNEL", "HRT_SPHERE_BLOCK",
+                 "HRT_SPHERE_MXU", "HRT_PALLAS_INTERPRET"):
+        env.pop(knob, None)
     env.update(env_overrides)
     r = subprocess.run([sys.executable, _WORKER, str(out)], env=env,
                        capture_output=True, text=True, timeout=600)
@@ -56,6 +57,15 @@ def _assert_matches(ref, var, name):
     np.testing.assert_allclose(var["uv"][same], ref["uv"][same],
                                rtol=1e-4, atol=1e-5,
                                err_msg=f"{name}: uvs differ")
+    # sphere scene (routed through ir.intersect_scene)
+    np.testing.assert_array_equal(var["s_hit"], ref["s_hit"],
+                                  err_msg=f"{name}: sphere hits differ")
+    sm = ref["s_hit"]
+    np.testing.assert_allclose(var["s_t"][sm], ref["s_t"][sm], rtol=1e-4,
+                               atol=1e-5, err_msg=f"{name}: sphere t")
+    np.testing.assert_allclose(var["s_normal"][sm], ref["s_normal"][sm],
+                               rtol=1e-3, atol=1e-3,
+                               err_msg=f"{name}: sphere normals")
 
 
 @pytest.mark.parametrize("name,env", [
@@ -68,6 +78,12 @@ def _assert_matches(ref, var, name):
     ("force_stream", {"HRT_FORCE_STREAM": "1"}),
     ("stream_block_64", {"HRT_FORCE_STREAM": "1",
                          "HRT_STREAM_BLOCK": "64"}),
+    # sphere-path variants (worker routes a 300-sphere scene through
+    # ir.intersect_scene, so these knobs are exercised end-to-end)
+    ("sphere_kernel", {"HRT_SPHERE_KERNEL": "1"}),
+    ("sphere_kernel_b256", {"HRT_SPHERE_KERNEL": "1",
+                            "HRT_SPHERE_BLOCK": "256"}),
+    ("sphere_mxu", {"HRT_SPHERE_MXU": "1"}),
 ])
 def test_variant_matches_default(tmp_path, name, env):
     ref = _baseline(tmp_path)
