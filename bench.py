@@ -46,6 +46,7 @@ def main() -> int:
         "cornell": "cornell_box.yaml",
         "balls": "scattered_balls.yaml",
         "teapot_hires": "teapot_hires.yaml",
+        "two_teapots": "two_teapots.yaml",
     }.get(which, "teapot_scene.yaml")
     width = height = int(os.environ.get("BENCH_SIZE", "640"))
     samples = int(os.environ.get("BENCH_SPP", "100"))

@@ -589,6 +589,15 @@ def cheap_coherence_key(o, d, valid, bounds8, t_max):
     """
     bmin = bounds8[:3, :].min(axis=1)           # (3,) root box
     bmax = bounds8[3:6, :].max(axis=1)
+    return cheap_key_from_box(o, d, valid, bmin, bmax, t_max)
+
+
+def cheap_key_from_box(o, d, valid, bmin, bmax, t_max):
+    """cheap_coherence_key against an EXPLICIT box — the pool-level
+    multi-mesh sort keys on the world-space UNION of every kernel
+    mesh's root box (scene/ir.py:wavefront_sort_key), so rays heading
+    for ANY mesh stay locality-grouped (keying on one mesh's box sorts
+    the other meshes' hitters into the random 'misser' tail)."""
     inv = 1.0 / jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
     t0 = (bmin[None, :] - o) * inv
     t1 = (bmax[None, :] - o) * inv

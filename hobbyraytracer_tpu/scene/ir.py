@@ -276,27 +276,44 @@ def has_wavefront_sort_key(scene: "SceneIR") -> bool:
 
 def wavefront_sort_key(scene: "SceneIR", rays: Rays, ray_valid=None):
     """Coherence sort key for a whole wavefront, or None when the scene
-    has no Pallas-traversed mesh (then sorting buys nothing). Keys the
-    FIRST BVH mesh instance via ops/intersect.coherence_key (the
-    HRT_KEY_MODE-resolved key shared with the per-mesh sort): the
-    integrator can permute its entire lane pool by it once per segment
-    instead of paying the per-mesh sort+unsort inside intersect (see
-    integrator/wavefront.py for the measured tradeoff)."""
+    has no Pallas-traversed mesh (then sorting buys nothing). Keys on
+    the WORLD-SPACE UNION of every kernel mesh's root box
+    (ops/intersect.cheap_key_from_box): the integrator can permute its
+    entire lane pool by it once per segment instead of paying the
+    per-mesh sort+unsort inside intersect. Keying on one mesh's box —
+    the round-4 version — sorted other meshes' hitters into the random
+    'misser' tail and collapsed multi-mesh pool sorts (two-teapot bench
+    1.81M vs 3.87M rays/s; PERF.md round 5)."""
+    boxes = []
     for inst in scene.instances:
         if (inst.kind == "mesh" and inst.mesh.use_bvh
                 and inst.mesh.bounds8 is not None):
             backend, _ = _resolve_mesh_backend("auto", inst.mesh)
             if backend == "pallas":
-                break
-    else:
+                b8 = inst.mesh.bounds8
+                bmin = b8[:3, :].min(axis=1)
+                bmax = b8[3:6, :].max(axis=1)
+                if inst.transform is not None:
+                    # conservative world AABB of the transformed box
+                    corners = jnp.stack(
+                        [jnp.where(jnp.asarray(
+                            [(i >> ax) & 1 for ax in range(3)], bool),
+                            bmax, bmin) for i in range(8)])
+                    wc = inst.transform.point_to_world(corners)
+                    bmin, bmax = wc.min(axis=0), wc.max(axis=0)
+                boxes.append((bmin, bmax))
+    if not boxes:
         return None
-    r = inst.transform.ray_to_object(rays) if inst.transform else rays
+    bmin = boxes[0][0]
+    bmax = boxes[0][1]
+    for lo, hi in boxes[1:]:
+        bmin = jnp.minimum(bmin, lo)
+        bmax = jnp.maximum(bmax, hi)
     n = rays.o.shape[0]
     if ray_valid is None:
         ray_valid = jnp.ones((n,), jnp.bool_)
-    _, interpret = _resolve_mesh_backend("auto", inst.mesh)
-    return isect.coherence_key(r.o, r.d, ray_valid, inst.mesh.bounds8,
-                               float(BIG), interpret=interpret)
+    return isect.cheap_key_from_box(rays.o, rays.d, ray_valid, bmin,
+                                    bmax, float(BIG))
 
 
 def _intersect_instance(inst: Instance, rays: Rays, t_min,

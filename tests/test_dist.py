@@ -280,3 +280,35 @@ def test_sharded_fit_grads_match_pallas(monkeypatch):
                                    rtol=1e-5, atol=1e-8)
         nonzero += int(np.abs(np.asarray(a)).max() > 0)
     assert nonzero >= 1  # the comparison is not vacuous
+
+
+def test_batch_multidevice_xla_find_is_explicit(caplog):
+    """render_sharded pins mesh scenes to the XLA find (no GSPMD rule
+    for the Pallas kernel) — that choice must be LOGGED, not silent
+    (round-4 verdict #8), and only for scenes where the kernel would
+    otherwise run."""
+    import logging
+
+    import numpy as np
+
+    from hobbyraytracer_tpu.parallel import shard as shard_mod
+    from hobbyraytracer_tpu.scene import build_scene, load_scene_desc
+    from hobbyraytracer_tpu.scene.fixtures import ensure_assets
+
+    ensure_assets()
+    here = os.path.join(os.path.dirname(__file__), "..", "scenes")
+    job = build_scene(load_scene_desc(
+        os.path.join(here, "teapot_scene.yaml")))
+    os.environ["HRT_PALLAS_INTERPRET"] = "1"   # CPU: route as on-TPU
+    try:
+        with caplog.at_level(logging.WARNING,
+                             logger="hobbyraytracer_tpu.parallel.shard"):
+            assert shard_mod._warn_batch_xla_find(job.scene)
+    finally:
+        del os.environ["HRT_PALLAS_INTERPRET"]
+    assert any("XLA mesh traversal" in r.message for r in caplog.records)
+
+    # no mesh -> no warning
+    job2 = build_scene(load_scene_desc(
+        os.path.join(here, "cornell_box.yaml")))
+    assert not shard_mod._warn_batch_xla_find(job2.scene)
