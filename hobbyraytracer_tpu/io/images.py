@@ -189,15 +189,22 @@ def read_bmp(path: str) -> np.ndarray:
 
 def read_jpg(path: str) -> np.ndarray:
     """JPEG decode (stb_image handles JPG for ImageTexture,
-    texture.cpp:30-51). Baseline JPEG entropy decode is out of scope for
-    the pure-python codecs above; use Pillow when present, else raise (the
-    texture layer degrades to debug cyan exactly like a missing file)."""
+    texture.cpp:30-51). Baseline/extended-sequential streams decode
+    dependency-free (io/jpeg.py); progressive (SOF2) falls back to Pillow
+    when importable, else raises (the texture layer degrades to debug
+    cyan exactly like a missing file, texture.cpp:56-57)."""
+    from . import jpeg as jpeg_mod
     try:
-        from PIL import Image
-    except ImportError as e:
-        raise ValueError(f"JPEG decode needs Pillow: {path}") from e
-    with Image.open(path) as im:
-        return np.asarray(im.convert("RGB"), np.uint8)
+        return jpeg_mod.read_jpeg(path)
+    except ValueError as native_err:
+        try:
+            from PIL import Image
+        except ImportError:
+            raise ValueError(
+                f"JPEG decode failed ({native_err}) and Pillow is not "
+                f"available for fallback: {path}") from native_err
+        with Image.open(path) as im:
+            return np.asarray(im.convert("RGB"), np.uint8)
 
 
 def read_image(path: str) -> np.ndarray:

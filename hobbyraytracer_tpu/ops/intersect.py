@@ -33,6 +33,19 @@ DEFAULT_CHUNK = 128
 KEY_MODE = os.environ.get("HRT_KEY_MODE", "cheap")
 # HRT_NO_COHSORT=1: skip the per-mesh coherence sort entirely.
 NO_COHSORT = bool(os.environ.get("HRT_NO_COHSORT"))
+# HRT_UNSORT_MODE: how the per-mesh coherence sort is undone after the
+# traversal kernel — "argsort" (default: inverse permutation via a
+# second argsort, then gathers) | "scatter" (.at[perm].set on the two
+# outputs; the round-3 default). Round-5 teapot bench: argsort 7.58M vs
+# scatter 6.42M rays/s (+18% — the (P,8)+(P,) scatters were the single
+# most expensive slice of the cohsort pipeline; a second argsort plus
+# two gathers is cheaper on this chip). Read ONCE at import (trace-time
+# env reads are invisible to the jit cache). Both modes covered by
+# tests/test_kernel_variants.py.
+UNSORT_MODE = os.environ.get("HRT_UNSORT_MODE", "argsort")
+if UNSORT_MODE not in ("scatter", "argsort"):
+    raise ValueError(f"HRT_UNSORT_MODE={UNSORT_MODE!r}: expected "
+                     "'scatter' or 'argsort'")
 # HRT_SPHERE_MXU=1: route the dense sphere scan's dot products through
 # the MXU (sphere_t_mxu) — measured slower on v5e, see intersect_spheres.
 SPHERE_MXU = os.environ.get("HRT_SPHERE_MXU", "0") != "0"
@@ -846,13 +859,19 @@ def intersect_mesh_clustered_pallas(rays: Rays, tri_verts, tri_id, bmin,
     out = out.reshape(-1, 8)
     id_best = id_best.reshape(-1)
     if cohsort:
-        # undo the coherence sort with a scatter (cheaper than building
-        # the inverse permutation via a second argsort). Measured on the
-        # chip: packing id_best into out's spare channel for a single
-        # scatter benched SLOWER end-to-end (1.72M vs 1.80M rays/s) — XLA
-        # already fuses these two same-index scatters into one pass.
-        out = jnp.zeros_like(out).at[perm].set(out)
-        id_best = jnp.zeros_like(id_best).at[perm].set(id_best)
+        # undo the coherence sort (HRT_UNSORT_MODE). "argsort" (default):
+        # inverse permutation via a second argsort + gathers — 7.58M vs
+        # 6.42M rays/s over the round-3 scatter undo on the round-5
+        # teapot config (PERF.md round 5; row-scatters are the most
+        # expensive primitive in the segment). "scatter": .at[perm].set
+        # on the two outputs, kept for chips with cheaper scatters.
+        if UNSORT_MODE == "argsort":
+            inv = jnp.argsort(perm).astype(jnp.int32)
+            out = out[inv]
+            id_best = id_best[inv]
+        else:
+            out = jnp.zeros_like(out).at[perm].set(out)
+            id_best = jnp.zeros_like(id_best).at[perm].set(id_best)
     out = out[:n_rays]
     id_best = id_best[:n_rays]
     t_best = out[:, 0]

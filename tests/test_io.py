@@ -47,3 +47,85 @@ def test_hdr_roundtrip(tmp_path):
     # the max channel / 256, not by each component's own magnitude.
     tol = img.max(axis=-1, keepdims=True) / 256.0 + 1e-4
     assert np.all(np.abs(back - img) <= tol)
+
+
+# ---------------------------------------------------------------- JPEG decode
+
+def _jpeg_bytes(img, **save_kw):
+    import io as _io
+
+    from PIL import Image
+    buf = _io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", **save_kw)
+    return buf.getvalue()
+
+
+@pytest.fixture
+def smooth_rgb():
+    # low-frequency content so the lossy round-trip tolerance is tight
+    from PIL import Image
+    rs = np.random.RandomState(2)
+    base = rs.randint(0, 256, (4, 6, 3), np.uint8)
+    return np.asarray(Image.fromarray(base).resize((97, 53),
+                                                   Image.BILINEAR))
+
+
+@pytest.mark.parametrize("subsampling", [0, 1, 2],
+                         ids=["444", "422", "420"])
+def test_jpeg_native_decode_matches_pillow(tmp_path, smooth_rgb,
+                                           subsampling):
+    """The pure-python baseline decoder agrees with libjpeg within the
+    chroma-upsampling difference (ours is nearest, libjpeg's is fancy)."""
+    import io as _io
+
+    from PIL import Image
+
+    from hobbyraytracer_tpu.io import jpeg as jpeg_mod
+    data = _jpeg_bytes(smooth_rgb, quality=90, subsampling=subsampling)
+    ours = jpeg_mod.decode_jpeg(data)
+    theirs = np.asarray(Image.open(_io.BytesIO(data)).convert("RGB"))
+    assert ours.shape == theirs.shape
+    diff = np.abs(ours.astype(int) - theirs.astype(int))
+    assert diff.mean() < 3.0
+    assert diff.max() <= (4 if subsampling == 0 else 24)
+
+
+def test_jpeg_grayscale_and_restart_markers(tmp_path, smooth_rgb):
+    import io as _io
+
+    from PIL import Image
+
+    from hobbyraytracer_tpu.io import jpeg as jpeg_mod
+    g = smooth_rgb[:, :, 0]
+    data = _jpeg_bytes(g, quality=85)
+    ours = jpeg_mod.decode_jpeg(data)
+    theirs = np.asarray(Image.open(_io.BytesIO(data)).convert("RGB"))
+    assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 2
+
+    # restart intervals reset the DC predictors mid-scan (DRI/RSTn)
+    data = _jpeg_bytes(smooth_rgb, quality=90, subsampling=0,
+                       restart_marker_blocks=2)
+    ours = jpeg_mod.decode_jpeg(data)
+    theirs = np.asarray(Image.open(_io.BytesIO(data)).convert("RGB"))
+    assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 4
+
+
+def test_jpeg_via_read_image_and_progressive_fallback(tmp_path, smooth_rgb):
+    """read_image dispatches .jpg to the native decoder; progressive
+    streams raise there and fall back to Pillow inside read_jpg."""
+    p = str(tmp_path / "x.jpg")
+    with open(p, "wb") as f:
+        f.write(_jpeg_bytes(smooth_rgb, quality=92, subsampling=0))
+    img = images.read_image(p)
+    assert img.shape == smooth_rgb.shape
+    assert np.abs(img.astype(int) - smooth_rgb.astype(int)).mean() < 6.0
+
+    from hobbyraytracer_tpu.io import jpeg as jpeg_mod
+    prog = _jpeg_bytes(smooth_rgb, quality=90, progressive=True)
+    with pytest.raises(ValueError):
+        jpeg_mod.decode_jpeg(prog)
+    pp = str(tmp_path / "p.jpg")
+    with open(pp, "wb") as f:
+        f.write(prog)
+    img2 = images.read_image(pp)  # Pillow fallback path
+    assert img2.shape == smooth_rgb.shape

@@ -22,7 +22,8 @@ def _run_variant(tmp_path, name, env_overrides):
     for knob in ("HRT_MXU_PICK", "HRT_KEY_MODE", "HRT_NO_COHSORT",
                  "HRT_BLOCK", "HRT_FORCE_STREAM", "HRT_STREAM_BLOCK",
                  "HRT_SPHERE_KERNEL", "HRT_SPHERE_BLOCK",
-                 "HRT_SPHERE_MXU", "HRT_PALLAS_INTERPRET"):
+                 "HRT_SPHERE_MXU", "HRT_PALLAS_INTERPRET",
+                 "HRT_UNSORT_MODE"):
         env.pop(knob, None)
     env.update(env_overrides)
     r = subprocess.run([sys.executable, _WORKER, str(out)], env=env,
@@ -72,6 +73,9 @@ def _assert_matches(ref, var, name):
     ("mxu_pick", {"HRT_MXU_PICK": "1"}),
     ("key_pallas", {"HRT_KEY_MODE": "pallas"}),
     ("no_cohsort", {"HRT_NO_COHSORT": "1"}),
+    # both unsort modes (round 5: argsort default, scatter legacy)
+    ("unsort_scatter", {"HRT_UNSORT_MODE": "scatter"}),
+    ("unsort_argsort", {"HRT_UNSORT_MODE": "argsort"}),
     ("block_256", {"HRT_BLOCK": "256"}),
     # route the small test mesh through the HBM-streaming kernel,
     # including the K -> STREAM_KC bounds padding
