@@ -29,8 +29,18 @@ DEFAULT_CHUNK = 128
 # Knobs read ONCE at import: the jit cache is not keyed on env vars, so
 # a trace-time read would silently ignore mid-process flips after the
 # first trace — the hidden dependency class that broke round 3.
-# HRT_KEY_MODE: "cheap" (default) | "pallas" — see coherence_key.
-KEY_MODE = os.environ.get("HRT_KEY_MODE", "cheap")
+# HRT_KEY_MODE: "auto" (default: "cheap" below K=256 clusters,
+# "corridor" at or above) | "cheap" | "corridor" | "pallas" — see
+# coherence_key / cheap_key_from_box.
+KEY_MODE = os.environ.get("HRT_KEY_MODE", "auto")
+if KEY_MODE not in ("auto", "cheap", "corridor", "pallas"):
+    raise ValueError(f"HRT_KEY_MODE={KEY_MODE!r}: expected 'auto', "
+                     "'cheap', 'corridor' or 'pallas'")
+# cluster count at which "auto" switches the key from octant|entry to
+# entry|exit (round-5 teapot/hires benches: cheap wins at K=64 — 7.58M
+# vs corridor's 7.03M — corridor wins at K=1024 — 2.46M vs 2.14M; the
+# crossover sits between, untested in the middle for lack of a scene)
+CORRIDOR_MIN_K = int(os.environ.get("HRT_CORRIDOR_MIN_K", "256"))
 # HRT_NO_COHSORT=1: skip the per-mesh coherence sort entirely.
 NO_COHSORT = bool(os.environ.get("HRT_NO_COHSORT"))
 # HRT_UNSORT_MODE: how the per-mesh coherence sort is undone after the
@@ -563,11 +573,13 @@ def coherence_key(o, d, valid, bounds8, t_max, interpret: bool = False):
     scene/ir.py:wavefront_sort_key) and the profiler get their key from,
     so an A/B of the knob flips every path together.
 
-    "cheap" (default): cheap_coherence_key below. "pallas": the retained
-    keys-kernel path (~1.1 ms/segment at the 128k pool, kept for
-    comparison; PERF.md round 4). o/d: (N,3) with N any size — the
-    pallas path pads to KEY_BLOCK internally."""
-    if KEY_MODE == "cheap":
+    "auto" (default): octant|entry Morton ("cheap") below CORRIDOR_MIN_K
+    clusters, entry|exit Morton ("corridor") at or above — the two
+    regimes measured opposite winners (see cheap_key_from_box).
+    "pallas": the retained keys-kernel path (~1.1 ms/segment at the
+    128k pool, kept for comparison; PERF.md round 4). o/d: (N,3) with N
+    any size — the pallas path pads to KEY_BLOCK internally."""
+    if KEY_MODE in ("auto", "cheap", "corridor"):
         return cheap_coherence_key(o, d, valid, bounds8, t_max)
     from ..kernels import mesh_traverse as kmod
     n = o.shape[0]
@@ -602,10 +614,15 @@ def cheap_coherence_key(o, d, valid, bounds8, t_max):
     """
     bmin = bounds8[:3, :].min(axis=1)           # (3,) root box
     bmax = bounds8[3:6, :].max(axis=1)
-    return cheap_key_from_box(o, d, valid, bmin, bmax, t_max)
+    corridor = (KEY_MODE == "corridor"
+                or (KEY_MODE == "auto"
+                    and bounds8.shape[1] >= CORRIDOR_MIN_K))
+    return cheap_key_from_box(o, d, valid, bmin, bmax, t_max,
+                              corridor=corridor)
 
 
-def cheap_key_from_box(o, d, valid, bmin, bmax, t_max):
+def cheap_key_from_box(o, d, valid, bmin, bmax, t_max,
+                       corridor: bool = False):
     """cheap_coherence_key against an EXPLICIT box — the pool-level
     multi-mesh sort keys on the world-space UNION of every kernel
     mesh's root box (scene/ir.py:wavefront_sort_key), so rays heading
@@ -636,6 +653,26 @@ def cheap_key_from_box(o, d, valid, bmin, bmax, t_max):
 
     morton = (spread(cell[:, 0]) | (spread(cell[:, 1]) << 1)
               | (spread(cell[:, 2]) << 2))       # 15 bits
+
+    if corridor:
+        # corridor key: replace the 3-bit direction octant with the
+        # 15-bit Morton cell of the root-box EXIT point — two rays share
+        # a key prefix iff they enter AND leave the box in nearby cells,
+        # i.e. traverse the same corridor of clusters. Measured round 5:
+        # LOSES at K=64 (teapot 7.03M vs 7.58M — the finer direction
+        # split fragments blocks whose visit sets already fit a few
+        # clusters) and WINS at K=1024 (hires 2.46M vs 2.14M, +15% —
+        # with fine clusters the corridor actually discriminates visit
+        # sets), hence the auto switch on cluster count.
+        px = o + d * jnp.maximum(hi, entry)[:, None]
+        qx = jnp.clip((px - bmin[None, :])
+                      / jnp.maximum(bmax - bmin, 1e-30), 0.0, 1.0)
+        cx = (qx * 31.0).astype(jnp.int32)
+        m_exit = (spread(cx[:, 0]) | (spread(cx[:, 1]) << 1)
+                  | (spread(cx[:, 2]) << 2))
+        key = (morton << 15) | m_exit            # 30 bits
+        return jnp.where(could_hit, key, jnp.int32(1 << 30))
+
     octant = ((d[:, 0] > 0).astype(jnp.int32)
               | ((d[:, 1] > 0).astype(jnp.int32) << 1)
               | ((d[:, 2] > 0).astype(jnp.int32) << 2))
@@ -812,7 +849,7 @@ def intersect_mesh_clustered_pallas(rays: Rays, tri_verts, tri_id, bmin,
     b = kmod.STREAM_BLOCK if streaming else kmod.BLOCK
     # only the (non-default) Pallas keys kernel needs KEY_BLOCK alignment
     align = (max(b, kmod.KEY_BLOCK)
-             if (cohsort and KEY_MODE != "cheap") else b)
+             if (cohsort and KEY_MODE == "pallas") else b)
     n_pad = ((n_rays + align - 1) // align) * align
     nb = n_pad // b
 

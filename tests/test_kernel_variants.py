@@ -72,6 +72,7 @@ def _assert_matches(ref, var, name):
 @pytest.mark.parametrize("name,env", [
     ("mxu_pick", {"HRT_MXU_PICK": "1"}),
     ("key_pallas", {"HRT_KEY_MODE": "pallas"}),
+    ("key_corridor", {"HRT_KEY_MODE": "corridor"}),
     ("no_cohsort", {"HRT_NO_COHSORT": "1"}),
     # both unsort modes (round 5: argsort default, scatter legacy)
     ("unsort_scatter", {"HRT_UNSORT_MODE": "scatter"}),
