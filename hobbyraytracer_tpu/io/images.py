@@ -226,4 +226,14 @@ def read_image(path: str) -> np.ndarray:
         from . import hdr
         rgb = hdr.read_hdr(path)
         return np.clip(rgb * 255.0, 0, 255).astype(np.uint8)
+    # stb_image's remaining decode matrix (io/extra_formats.py)
+    if p.endswith((".ppm", ".pgm", ".pbm", ".pnm")):
+        from .extra_formats import read_pnm
+        return read_pnm(path)
+    if p.endswith(".psd"):
+        from .extra_formats import read_psd
+        return read_psd(path)
+    if p.endswith(".gif"):
+        from .extra_formats import read_gif
+        return read_gif(path)
     raise ValueError(f"unsupported image format: {path}")

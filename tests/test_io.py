@@ -129,3 +129,94 @@ def test_jpeg_via_read_image_and_progressive_fallback(tmp_path, smooth_rgb):
         f.write(prog)
     img2 = images.read_image(pp)  # Pillow fallback path
     assert img2.shape == smooth_rgb.shape
+
+
+# ----------------------------------------- stb decode-matrix long tail
+
+def test_pnm_decode_binary_and_ascii(tmp_path, rgb):
+    """PPM/PGM binary via the Pillow oracle; ascii P3 handwritten."""
+    import io as _io
+
+    from PIL import Image
+
+    from hobbyraytracer_tpu.io import extra_formats as X
+    buf = _io.BytesIO()
+    Image.fromarray(rgb).save(buf, "PPM")
+    np.testing.assert_array_equal(X.decode_pnm(buf.getvalue()), rgb)
+
+    g = rgb[:, :, 0]
+    buf = _io.BytesIO()
+    Image.fromarray(g).save(buf, "PPM")   # PIL picks PGM for mode L
+    np.testing.assert_array_equal(X.decode_pnm(buf.getvalue()),
+                                  np.repeat(g[:, :, None], 3, 2))
+
+    asc = b"P3\n# comment\n2 2\n255\n255 0 0  0 255 0\n0 0 255  1 2 3\n"
+    out = X.decode_pnm(asc)
+    np.testing.assert_array_equal(
+        out, np.array([[[255, 0, 0], [0, 255, 0]],
+                       [[0, 0, 255], [1, 2, 3]]], np.uint8))
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_decode_matches_pillow(tmp_path, rgb, interlace):
+    import io as _io
+
+    from PIL import Image
+
+    from hobbyraytracer_tpu.io import extra_formats as X
+    buf = _io.BytesIO()
+    Image.fromarray(rgb).save(buf, "GIF", interlace=interlace)
+    ours = X.decode_gif(buf.getvalue())
+    theirs = np.asarray(Image.open(buf).convert("RGB"))
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_psd_decode_raw_and_rle(tmp_path, rgb):
+    """Synthesized PSD composites (Pillow cannot write PSD): planar RAW
+    and PackBits-RLE, matching stb's stbi__psd_load subset."""
+    import struct
+
+    from hobbyraytracer_tpu.io import extra_formats as X
+    h, w = rgb.shape[:2]
+    head = (b"8BPS" + struct.pack(">H", 1) + b"\0" * 6 +
+            struct.pack(">HIIHH", 3, h, w, 8, 3) +
+            struct.pack(">I", 0) * 3)
+    raw = head + struct.pack(">H", 0) + b"".join(
+        rgb[:, :, c].tobytes() for c in range(3))
+    np.testing.assert_array_equal(X.decode_psd(raw), rgb)
+
+    def packbits(row):
+        out = bytearray()
+        i = 0
+        n = len(row)
+        while i < n:
+            run = 1
+            while i + run < n and row[i + run] == row[i] and run < 127:
+                run += 1
+            if run >= 2:
+                out += bytes([257 - run, row[i]])
+                i += run
+            else:
+                j = i + 1
+                while (j < n and (j + 1 >= n or row[j + 1] != row[j])
+                       and j - i < 127):
+                    j += 1
+                out += bytes([j - i - 1]) + bytes(row[i:j])
+                i = j
+        return bytes(out)
+
+    rows = [packbits(rgb[:, :, c][y].tobytes())
+            for c in range(3) for y in range(h)]
+    counts = b"".join(struct.pack(">H", len(r)) for r in rows)
+    rle = head + struct.pack(">H", 1) + counts + b"".join(rows)
+    np.testing.assert_array_equal(X.decode_psd(rle), rgb)
+
+
+def test_read_image_dispatches_extra_formats(tmp_path, rgb):
+    from PIL import Image
+    p = str(tmp_path / "x.ppm")
+    Image.fromarray(rgb).save(p)
+    np.testing.assert_array_equal(images.read_image(p), rgb)
+    p = str(tmp_path / "x.gif")
+    Image.fromarray(rgb).save(p)
+    assert images.read_image(p).shape == rgb.shape
