@@ -54,14 +54,17 @@ def lib():
         np.ctypeslib.ndpointer(np.float32)] * 3 + [
         np.ctypeslib.ndpointer(np.int32)]
     L.hrt_mesh_free.argtypes = [ctypes.c_void_p]
-    L.hrt_build_clusters.restype = ctypes.c_int32
-    L.hrt_build_clusters.argtypes = [
+    cluster_sig = [
         np.ctypeslib.ndpointer(np.float32), ctypes.c_int32,
         np.ctypeslib.ndpointer(np.int32), ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32,
         np.ctypeslib.ndpointer(np.int32),
         np.ctypeslib.ndpointer(np.float32),
         np.ctypeslib.ndpointer(np.float32)]
+    L.hrt_build_clusters.restype = ctypes.c_int32
+    L.hrt_build_clusters.argtypes = cluster_sig
+    L.hrt_build_clusters_sah.restype = ctypes.c_int32
+    L.hrt_build_clusters_sah.argtypes = cluster_sig
     _LIB = L
     return _LIB
 
@@ -87,9 +90,11 @@ def parse_obj(path: str):
             "indices": indices}
 
 
-def build_clusters(verts: np.ndarray, indices: np.ndarray, leaf_size: int):
+def build_clusters(verts: np.ndarray, indices: np.ndarray, leaf_size: int,
+                   sah: bool = False):
     """Native cluster build -> dict like bvh.build_clusters (minus
-    tri_verts, which callers regather), or None."""
+    tri_verts, which callers regather), or None. sah=True runs the
+    constrained SAH builder (hrt_build_clusters_sah)."""
     L = lib()
     if L is None:
         return None
@@ -100,8 +105,9 @@ def build_clusters(verts: np.ndarray, indices: np.ndarray, leaf_size: int):
     tri_id = np.empty((max_k, leaf_size), np.int32)
     bmin = np.empty((max_k, 3), np.float32)
     bmax = np.empty((max_k, 3), np.float32)
-    k = L.hrt_build_clusters(verts, len(verts), indices, n_tris,
-                             leaf_size, max_k, tri_id, bmin, bmax)
+    fn = L.hrt_build_clusters_sah if sah else L.hrt_build_clusters
+    k = fn(verts, len(verts), indices, n_tris,
+           leaf_size, max_k, tri_id, bmin, bmax)
     if k <= 0:
         return None
     tv = verts[indices]

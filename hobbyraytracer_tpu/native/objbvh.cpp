@@ -274,4 +274,128 @@ int32_t hrt_build_clusters(const float* verts, int32_t n_verts,
     return k_out;
 }
 
+// Constrained surface-area-heuristic build (mirror of
+// scene/bvh.py::sah_split_order): each node picks BOTH the split axis
+// AND the cut position — restricted to multiples of leaf_size so leaves
+// stay full — minimizing SA(left)*n_left + SA(right)*n_right over
+// prefix/suffix boxes of the axis-sorted range. Same uniform padded
+// leaf layout as hrt_build_clusters. Returns K or -1 if max_k too small.
+int32_t hrt_build_clusters_sah(const float* verts, int32_t n_verts,
+                               const int32_t* indices, int32_t n_tris,
+                               int32_t leaf_size, int32_t max_k,
+                               int32_t* tri_id, float* bmin, float* bmax) {
+    (void)n_verts;
+    // per-triangle centroid + bbox, computed once
+    std::vector<float> cent(static_cast<size_t>(n_tris) * 3);
+    std::vector<float> tlo(static_cast<size_t>(n_tris) * 3);
+    std::vector<float> thi(static_cast<size_t>(n_tris) * 3);
+    for (int32_t t = 0; t < n_tris; ++t) {
+        const int32_t* tri = indices + 3 * t;
+        float lo[3] = {1e30f, 1e30f, 1e30f};
+        float hi[3] = {-1e30f, -1e30f, -1e30f};
+        float s[3] = {0, 0, 0};
+        for (int c = 0; c < 3; ++c) {
+            const float* v = verts + 3 * tri[c];
+            for (int ax = 0; ax < 3; ++ax) {
+                lo[ax] = std::min(lo[ax], v[ax]);
+                hi[ax] = std::max(hi[ax], v[ax]);
+                s[ax] += v[ax];
+            }
+        }
+        for (int ax = 0; ax < 3; ++ax) {
+            cent[3 * t + ax] = s[ax] / 3;
+            tlo[3 * t + ax] = lo[ax];
+            thi[3 * t + ax] = hi[ax];
+        }
+    }
+
+    std::vector<int32_t> order(n_tris);
+    std::iota(order.begin(), order.end(), 0);
+    std::vector<int32_t> scratch(n_tris), best_order(n_tris);
+    // prefix/suffix surface areas for the current node's sorted range
+    std::vector<float> sa_l(n_tris), sa_r(n_tris);
+
+    auto surface = [](const float lo[3], const float hi[3]) {
+        float e0 = hi[0] - lo[0], e1 = hi[1] - lo[1], e2 = hi[2] - lo[2];
+        return 2.0f * (e0 * e1 + e1 * e2 + e0 * e2);
+    };
+
+    int32_t k_out = 0;
+    std::vector<std::pair<int32_t, int32_t>> stack{{0, n_tris}};
+    while (!stack.empty()) {
+        auto [b, e] = stack.back();
+        stack.pop_back();
+        int32_t n = e - b;
+        if (n <= leaf_size) {
+            if (k_out >= max_k) return -1;
+            int32_t* ids = tri_id + static_cast<int64_t>(k_out) * leaf_size;
+            float lo[3] = {1e30f, 1e30f, 1e30f};
+            float hi[3] = {-1e30f, -1e30f, -1e30f};
+            for (int32_t i = 0; i < leaf_size; ++i) {
+                if (i < n) {
+                    int32_t t = order[b + i];
+                    ids[i] = t;
+                    for (int ax = 0; ax < 3; ++ax) {
+                        lo[ax] = std::min(lo[ax], tlo[3 * t + ax]);
+                        hi[ax] = std::max(hi[ax], thi[3 * t + ax]);
+                    }
+                } else {
+                    ids[i] = -1;
+                }
+            }
+            for (int ax = 0; ax < 3; ++ax) {
+                bmin[3 * k_out + ax] = lo[ax] - 1e-4f;
+                bmax[3 * k_out + ax] = hi[ax] + 1e-4f;
+            }
+            ++k_out;
+            continue;
+        }
+        float best_cost = 1e38f;
+        int32_t best_cut = b + n / 2;
+        for (int ax = 0; ax < 3; ++ax) {
+            std::copy(order.begin() + b, order.begin() + e,
+                      scratch.begin());
+            const float* cc = cent.data();
+            std::sort(scratch.begin(), scratch.begin() + n,
+                      [cc, ax](int32_t a, int32_t b2) {
+                          return cc[3 * a + ax] < cc[3 * b2 + ax];
+                      });
+            float lo[3] = {1e30f, 1e30f, 1e30f};
+            float hi[3] = {-1e30f, -1e30f, -1e30f};
+            for (int32_t i = 0; i < n; ++i) {
+                int32_t t = scratch[i];
+                for (int a2 = 0; a2 < 3; ++a2) {
+                    lo[a2] = std::min(lo[a2], tlo[3 * t + a2]);
+                    hi[a2] = std::max(hi[a2], thi[3 * t + a2]);
+                }
+                sa_l[i] = surface(lo, hi);
+            }
+            float rlo[3] = {1e30f, 1e30f, 1e30f};
+            float rhi[3] = {-1e30f, -1e30f, -1e30f};
+            for (int32_t i = n - 1; i >= 0; --i) {
+                int32_t t = scratch[i];
+                for (int a2 = 0; a2 < 3; ++a2) {
+                    rlo[a2] = std::min(rlo[a2], tlo[3 * t + a2]);
+                    rhi[a2] = std::max(rhi[a2], thi[3 * t + a2]);
+                }
+                sa_r[i] = surface(rlo, rhi);
+            }
+            for (int32_t c = leaf_size; c < n; c += leaf_size) {
+                float cost = sa_l[c - 1] * c + sa_r[c] * (n - c);
+                if (cost < best_cost) {
+                    best_cost = cost;
+                    best_cut = b + c;
+                    std::copy(scratch.begin(), scratch.begin() + n,
+                              best_order.begin() + b);
+                }
+            }
+        }
+        std::copy(best_order.begin() + b, best_order.begin() + e,
+                  order.begin() + b);
+        stack.emplace_back(best_cut, e);
+        stack.emplace_back(b, best_cut);
+    }
+    return k_out;
+}
+
 }  // extern "C"

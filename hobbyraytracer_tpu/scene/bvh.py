@@ -27,7 +27,18 @@ in milliseconds.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+# HRT_BVH_SAH: constrained surface-area-heuristic cluster build (see
+# sah_split_order) instead of the longest-axis median split. DEFAULT ON
+# (round-5 benches: teapot +1%, two-teapot +2%, 105k-tri hires +11% —
+# tighter boxes mean fewer cluster visits per ray block); set
+# HRT_BVH_SAH=0 for the median build. Native C++ SAH
+# (hrt_build_clusters_sah) runs when built; the numpy fallback costs
+# ~2.4 s at 105k tris. Read once at import like every other knob.
+BVH_SAH = os.environ.get("HRT_BVH_SAH", "1") != "0"
 
 
 def median_split_order(centroids: np.ndarray, leaf_size: int) -> list:
@@ -50,6 +61,53 @@ def median_split_order(centroids: np.ndarray, leaf_size: int) -> list:
     return out
 
 
+def sah_split_order(tri_verts: np.ndarray, leaf_size: int) -> list:
+    """Constrained surface-area-heuristic split (HRT_BVH_SAH=1): like
+    median_split_order, but each recursion picks BOTH the axis AND the
+    split position (restricted to multiples of leaf_size so leaves stay
+    full — padding waste costs kernel work) by minimizing the standard
+    SAH cost SA(left)*n_left + SA(right)*n_right over prefix boxes.
+
+    On the teapot (3720 tris, L=128) this cuts the summed cluster
+    surface area 178 -> 157 (-12%) and K 32 -> 30 vs the median split;
+    slab-entry probability per random ray is proportional to SA, so
+    fewer clusters open per block. tri_verts: (T,3,3)."""
+    cent = tri_verts.mean(axis=1)
+    out = []
+
+    def sa_prefix(t):
+        p = t.reshape(len(t), -1, 3)
+        mn = np.minimum.accumulate(p.min(axis=1), axis=0)
+        mx = np.maximum.accumulate(p.max(axis=1), axis=0)
+        e = mx - mn
+        return 2 * (e[:, 0] * e[:, 1] + e[:, 1] * e[:, 2]
+                    + e[:, 0] * e[:, 2])
+
+    def split(idx):
+        n = len(idx)
+        if n <= leaf_size:
+            out.append(idx)
+            return
+        best = None
+        for ax in range(3):
+            o = np.argsort(cent[idx][:, ax], kind="stable")
+            sidx = idx[o]
+            t = tri_verts[sidx]
+            sa_l = sa_prefix(t)
+            sa_r = sa_prefix(t[::-1])[::-1]
+            cands = np.arange(leaf_size, n, leaf_size)
+            cost = sa_l[cands - 1] * cands + sa_r[cands] * (n - cands)
+            j = int(np.argmin(cost))
+            if best is None or cost[j] < best[0]:
+                best = (float(cost[j]), sidx, int(cands[j]))
+        _, sidx, c = best
+        split(sidx[:c])
+        split(sidx[c:])
+
+    split(np.arange(len(tri_verts), dtype=np.int64))
+    return out
+
+
 def build_clusters(verts: np.ndarray, indices: np.ndarray,
                    leaf_size: int = 32):
     """-> dict with:
@@ -60,14 +118,15 @@ def build_clusters(verts: np.ndarray, indices: np.ndarray,
         reference's triangle boxes, triangle.cpp:42-55).
     """
     from ..native import build_clusters as native_build
-    native = native_build(verts, indices, leaf_size)
+    native = native_build(verts, indices, leaf_size, sah=BVH_SAH)
     if native is not None:
         return native
     verts = np.asarray(verts, np.float32)
     indices = np.asarray(indices, np.int64)
     tv = verts[indices]                     # (T, 3, 3)
     centroids = tv.mean(axis=1)             # (T, 3)
-    leaves = median_split_order(centroids, leaf_size)
+    leaves = (sah_split_order(tv, leaf_size) if BVH_SAH
+              else median_split_order(centroids, leaf_size))
     k = len(leaves)
     tri_verts = np.zeros((k, leaf_size, 3, 3), np.float32)
     tri_id = np.full((k, leaf_size), -1, np.int32)
