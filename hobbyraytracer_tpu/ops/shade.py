@@ -59,16 +59,37 @@ class MaterialTable:
     textured: tuple = flax.struct.field(
         pytree_node=False,
         default=("albedo", "roughness", "strength", "metallness"))
+    # static set of texture TYPES material channels can reference: lets
+    # colour_value skip whole lookup branches — e.g. a scene whose only
+    # material texture is checkered never pays the image/env atlas
+    # gathers in shade, even though the env map shares the texture table
+    # (round 5: balls shade 6.6 -> ~0.9 ms/segment)
+    tex_types: tuple = flax.struct.field(
+        pytree_node=False, default=(0, 1, 2, 3))
 
 
-def build_table(specs) -> MaterialTable:
+def build_table(specs, tex_ttypes=None) -> MaterialTable:
     """specs: list of dicts with keys mtype, albedo, albedo_tex, roughness,
     roughness_tex, strength, strength_tex, ior, metallness, metallness_tex
-    (missing keys get defaults)."""
+    (missing keys get defaults). tex_ttypes: optional (T,) sequence of the
+    texture table's ttype column — when given, tex_types is narrowed to
+    the types actually referenced by some material channel."""
     def col(key, default, dtype=np.float32):
         return jnp.asarray(
             np.asarray([s.get(key, default) for s in specs], dtype))
+    tex_types = (0, 1, 2, 3)
+    if tex_ttypes is not None:
+        tex_ttypes = [int(t) for t in tex_ttypes]
+        used = set()
+        for s in specs:
+            for f in ("albedo_tex", "roughness_tex", "strength_tex",
+                      "metallness_tex"):
+                t = int(s.get(f, -1))
+                if 0 <= t < len(tex_ttypes):
+                    used.add(tex_ttypes[t])
+        tex_types = tuple(sorted(used))
     return MaterialTable(
+        tex_types=tex_types,
         mtype=col("mtype", MAT_LAMBERTIAN, np.int32),
         albedo=col("albedo", (0.5, 0.5, 0.5)),
         albedo_tex=col("albedo_tex", -1, np.int32),
@@ -88,22 +109,70 @@ def build_table(specs) -> MaterialTable:
     )
 
 
-def _vec3_value(constant, tex_id, tab, u, v, p, textured=True):
+def _gather_params(mats: MaterialTable, mid):
+    """ONE packed row gather of every per-lane material channel.
+
+    Separate (N,) gathers cost ~1.8 ms EACH at a 196k pool on a
+    486-row table (round-5 balls profile: 4 gathers = 7.05 ms of the
+    6.6 ms shade row — the whole shade wall), while the TPU cost model
+    says row count is everything and row width is free. So: concatenate
+    the (M,) channels into one (M, 12) matrix (an M-sized op, ~free),
+    gather (N, 12) once, slice. Ints ride along bitcast to f32
+    (lossless round trip). Differentiable channels (albedo, roughness,
+    strength, ior, metallness) flow through concatenate+gather+slice
+    with exact VJPs (scatter-add back to the table rows).
+
+    SMALL tables skip the packing: XLA lowers gathers from a table with
+    few rows to vectorized selects that are cheaper than one real
+    packed gather (measured round 5: packing always-on cost the
+    5-material teapot bench 7%, while the 486-material balls bench
+    gained 55% — hence the static M >= 32 switch).
+    Returns dict of per-lane channels."""
+    if mats.mtype.shape[0] < 32:
+        return {f: _take(getattr(mats, f), mid)
+                for f in ("mtype", "albedo", "roughness", "ior",
+                          "strength", "metallness", "albedo_tex",
+                          "roughness_tex", "strength_tex",
+                          "metallness_tex")}
+    bc = lambda a: jax.lax.bitcast_convert_type(
+        a.astype(jnp.int32), jnp.float32)[..., None]
+    packed = jnp.concatenate([
+        bc(mats.mtype), mats.albedo,                       # 0, 1:4
+        mats.roughness[:, None], mats.ior[:, None],        # 4, 5
+        mats.strength[:, None], mats.metallness[:, None],  # 6, 7
+        bc(mats.albedo_tex), bc(mats.roughness_tex),       # 8, 9
+        bc(mats.strength_tex), bc(mats.metallness_tex),    # 10, 11
+    ], axis=1)
+    rows = packed[mid]
+    ib = lambda c: jax.lax.bitcast_convert_type(rows[..., c], jnp.int32)
+    return {
+        "mtype": ib(0), "albedo": rows[..., 1:4],
+        "roughness": rows[..., 4], "ior": rows[..., 5],
+        "strength": rows[..., 6], "metallness": rows[..., 7],
+        "albedo_tex": ib(8), "roughness_tex": ib(9),
+        "strength_tex": ib(10), "metallness_tex": ib(11),
+    }
+
+
+def _vec3_value(constant, tex_id, tab, u, v, p, textured=True,
+                types=None):
     """MatVec3::valueAt — constant unless tex_id >= 0 (material.h:10-35).
     textured=False (static): no material in the table uses a texture for
-    this channel, skip the lookup."""
+    this channel, skip the lookup. types: static reachable-texture-type
+    set (MaterialTable.tex_types) forwarded to colour_value."""
     if not textured:
         return constant
-    from_tex = tex_ops.colour_value(tab, tex_id, u, v, p)
+    from_tex = tex_ops.colour_value(tab, tex_id, u, v, p, types)
     return jnp.where((tex_id >= 0)[..., None], from_tex, constant)
 
 
-def _scalar_value(constant, tex_id, tab, u, v, p, textured=True):
+def _scalar_value(constant, tex_id, tab, u, v, p, textured=True,
+                  types=None):
     """MatScalar::valueAt — constant or length(texture rgb)
     (material.h:37-58)."""
     if not textured:
         return constant
-    from_tex = tex_ops.scalar_value(tab, tex_id, u, v, p)
+    from_tex = tex_ops.scalar_value(tab, tex_id, u, v, p, types)
     return jnp.where(tex_id >= 0, from_tex, constant)
 
 
@@ -114,15 +183,14 @@ def emitted(mats: MaterialTable, tab: tex_ops.TextureTable,
     if MAT_DIFFUSE_LIGHT not in mats.present:  # static: no lights at all
         return jnp.zeros(hits.t.shape + (3,), jnp.float32)
     mid = jnp.maximum(hits.mat_id, 0)
+    pr = _gather_params(mats, mid)  # XLA CSEs this with scatter()'s
     u, v = hits.uv[..., 0], hits.uv[..., 1]
-    alb = _vec3_value(_take(mats.albedo, mid), _take(mats.albedo_tex, mid),
-                      tab, u, v,
-                      hits.p, "albedo" in mats.textured)
-    s = _scalar_value(_take(mats.strength, mid),
-                      _take(mats.strength_tex, mid), tab, u, v,
-                      hits.p, "strength" in mats.textured)
+    alb = _vec3_value(pr["albedo"], pr["albedo_tex"], tab, u, v,
+                      hits.p, "albedo" in mats.textured, mats.tex_types)
+    s = _scalar_value(pr["strength"], pr["strength_tex"], tab, u, v,
+                      hits.p, "strength" in mats.textured, mats.tex_types)
     e = alb * s[..., None]
-    is_light = (_take(mats.mtype, mid) == MAT_DIFFUSE_LIGHT) & hits.hit
+    is_light = (pr["mtype"] == MAT_DIFFUSE_LIGHT) & hits.hit
     return jnp.where(is_light[..., None], e, 0.0)
 
 
@@ -138,7 +206,8 @@ def scatter(mats: MaterialTable, tab: tex_ops.TextureTable, rays: Rays,
     """
     n = hits.t.shape[0]
     mid = jnp.maximum(hits.mat_id, 0)
-    mt = _take(mats.mtype, mid)
+    pr = _gather_params(mats, mid)
+    mt = pr["mtype"]
     u, v = hits.uv[..., 0], hits.uv[..., 1]
     p = hits.p
     nrm = hits.normal
@@ -151,13 +220,12 @@ def scatter(mats: MaterialTable, tab: tex_ops.TextureTable, rays: Rays,
     has_pbr = MAT_PBR in present
     has_uvtest = MAT_UVTEST in present
 
-    albedo = _vec3_value(_take(mats.albedo, mid),
-                         _take(mats.albedo_tex, mid), tab, u, v,
-                         p, "albedo" in mats.textured)
+    albedo = _vec3_value(pr["albedo"], pr["albedo_tex"], tab, u, v,
+                         p, "albedo" in mats.textured, mats.tex_types)
     need_rough = has_metal or has_dielectric or has_pbr
-    rough = (_scalar_value(_take(mats.roughness, mid),
-                           _take(mats.roughness_tex, mid),
-                           tab, u, v, p, "roughness" in mats.textured)
+    rough = (_scalar_value(pr["roughness"], pr["roughness_tex"],
+                           tab, u, v, p, "roughness" in mats.textured,
+                           mats.tex_types)
              if need_rough else jnp.zeros((n,), jnp.float32))
 
     # shared random draws (one stream per purpose per bounce)
@@ -197,7 +265,7 @@ def scatter(mats: MaterialTable, tab: tex_ops.TextureTable, rays: Rays,
         # raw hit normal (reference passes rec.normal unnormalized).
         u_choice = rng.uniform(
             rng.stream(key, rng.DIELECTRIC_CHOICE, bounce), (n,), span)
-        ior = _take(mats.ior, mid)
+        ior = pr["ior"]
         ratio = jnp.where(hits.front_face, 1.0 / ior, ior)
         cos_t = jnp.minimum(mathx.dot(-unit_d, nrm), 1.0)
         sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
@@ -224,9 +292,9 @@ def scatter(mats: MaterialTable, tab: tex_ops.TextureTable, rays: Rays,
     if has_pbr:
         # --- PBR (material.cpp:4-27): length(metallness value) > 0.5 ->
         # metal lobe (roughness), else lambertian; both share albedo.
-        metl = _scalar_value(_take(mats.metallness, mid),
-                             _take(mats.metallness_tex, mid),
-                             tab, u, v, p, "metallness" in mats.textured)
+        metl = _scalar_value(pr["metallness"], pr["metallness_tex"],
+                             tab, u, v, p, "metallness" in mats.textured,
+                             mats.tex_types)
         pbr_is_metal = jnp.abs(metl) > 0.5
         sel = (mt == MAT_PBR)
         new_d = jnp.where((sel & pbr_is_metal)[..., None], met_dir, new_d)

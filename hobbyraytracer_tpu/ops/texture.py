@@ -79,8 +79,17 @@ def white_table() -> TextureTable:
     return build_table([{"type": TEX_SOLID, "solid": (1.0, 1.0, 1.0)}])
 
 
-def colour_value(tab: TextureTable, tex_id, u, v, p) -> jnp.ndarray:
+def colour_value(tab: TextureTable, tex_id, u, v, p,
+                 types=None) -> jnp.ndarray:
     """Batched Texture::colourValue. tex_id: (N,) int32; u,v: (N,); p: (N,3).
+
+    `types` (STATIC, optional): the set of texture types the tex_id batch
+    can actually reference — e.g. a material table whose channels only
+    point at solid/checkered textures passes (TEX_SOLID, TEX_CHECKERED)
+    and the image/environment atlas gathers are skipped at trace time.
+    The (N,) atlas row gathers are the expensive part of a lookup
+    (round-5 balls profile: shade 6.6 -> ~0.9 ms/segment once the
+    unreferenced env-map gather is gated off); None computes all types.
 
     Per-type semantics match the reference exactly:
     - solid: constant (texture.h:20-23)
@@ -92,6 +101,9 @@ def colour_value(tab: TextureTable, tex_id, u, v, p) -> jnp.ndarray:
       flip (texture.cpp:76-97)
     - image/environment with no data: debug cyan (texture.cpp:56-57,79-80)
     """
+    if types is None:
+        types = (TEX_SOLID, TEX_IMAGE, TEX_CHECKERED, TEX_ENVIRONMENT)
+    types = set(types) | {TEX_SOLID}   # id<0 falls back to texture 0
     tid = jnp.maximum(tex_id, 0)
     tt = _take(tab.ttype, tid)
     w = _take(tab.width, tid)
@@ -102,10 +114,13 @@ def colour_value(tab: TextureTable, tex_id, u, v, p) -> jnp.ndarray:
     c_solid = _take(tab.solid, tid)
 
     # checkered
-    sines = (jnp.sin(10.0 * p[..., 0]) * jnp.sin(10.0 * p[..., 1])
-             * jnp.sin(10.0 * p[..., 2]))
-    c_check = jnp.where((sines < 0.0)[..., None], _take(tab.solid2, tid),
-                        c_solid)
+    if TEX_CHECKERED in types:
+        sines = (jnp.sin(10.0 * p[..., 0]) * jnp.sin(10.0 * p[..., 1])
+                 * jnp.sin(10.0 * p[..., 2]))
+        c_check = jnp.where((sines < 0.0)[..., None],
+                            _take(tab.solid2, tid), c_solid)
+    else:
+        c_check = c_solid
 
     uc = jnp.clip(u, 0.0, 1.0)
     wi = jnp.maximum(w, 1)
@@ -130,32 +145,40 @@ def colour_value(tab: TextureTable, tex_id, u, v, p) -> jnp.ndarray:
         return ((1 - fx) * (1 - fy) * c00 + fx * (1 - fy) * c10
                 + (1 - fx) * fy * c01 + fx * fy * c11)
 
-    # image (v flipped)
-    vc = 1.0 - jnp.clip(v, 0.0, 1.0)
-    if tab.bilinear:
-        c_img = bilerp(uc * (w - 1).astype(jnp.float32),
-                       vc * (h - 1).astype(jnp.float32))
-    else:  # nearest by truncation (texture.cpp:63-74)
-        i_img = jnp.minimum((uc * w.astype(jnp.float32)).astype(jnp.int32),
-                            wi - 1)
-        j_img = jnp.minimum((vc * h.astype(jnp.float32)).astype(jnp.int32),
-                            hi - 1)
-        c_img = fetch(i_img, j_img)
-
-    # environment (no v flip)
-    ve = jnp.clip(v, 0.0, 1.0)
-    if tab.bilinear:
-        c_env = bilerp(uc * (w - 1).astype(jnp.float32),
-                       ve * (h - 1).astype(jnp.float32))
-    else:  # nearest with +0.5 rounding on (dim-1) (texture.cpp:86-97)
-        i_env = (uc * (w - 1).astype(jnp.float32) + 0.5).astype(jnp.int32)
-        j_env = (ve * (h - 1).astype(jnp.float32) + 0.5).astype(jnp.int32)
-        c_env = fetch(i_env, j_env)
-
     cyan = jnp.asarray(DEBUG_CYAN, jnp.float32)
     has_data = (w > 0)[..., None]
-    c_img = jnp.where(has_data, c_img, cyan)
-    c_env = jnp.where(has_data, c_env, cyan)
+
+    # image (v flipped)
+    if TEX_IMAGE in types:
+        vc = 1.0 - jnp.clip(v, 0.0, 1.0)
+        if tab.bilinear:
+            c_img = bilerp(uc * (w - 1).astype(jnp.float32),
+                           vc * (h - 1).astype(jnp.float32))
+        else:  # nearest by truncation (texture.cpp:63-74)
+            i_img = jnp.minimum(
+                (uc * w.astype(jnp.float32)).astype(jnp.int32), wi - 1)
+            j_img = jnp.minimum(
+                (vc * h.astype(jnp.float32)).astype(jnp.int32), hi - 1)
+            c_img = fetch(i_img, j_img)
+        c_img = jnp.where(has_data, c_img, cyan)
+    else:
+        c_img = c_solid
+
+    # environment (no v flip)
+    if TEX_ENVIRONMENT in types:
+        ve = jnp.clip(v, 0.0, 1.0)
+        if tab.bilinear:
+            c_env = bilerp(uc * (w - 1).astype(jnp.float32),
+                           ve * (h - 1).astype(jnp.float32))
+        else:  # nearest with +0.5 rounding on (dim-1) (texture.cpp:86-97)
+            i_env = (uc * (w - 1).astype(jnp.float32)
+                     + 0.5).astype(jnp.int32)
+            j_env = (ve * (h - 1).astype(jnp.float32)
+                     + 0.5).astype(jnp.int32)
+            c_env = fetch(i_env, j_env)
+        c_env = jnp.where(has_data, c_env, cyan)
+    else:
+        c_env = c_solid
 
     out = jnp.where((tt == TEX_SOLID)[..., None], c_solid,
           jnp.where((tt == TEX_CHECKERED)[..., None], c_check,
@@ -163,7 +186,8 @@ def colour_value(tab: TextureTable, tex_id, u, v, p) -> jnp.ndarray:
     return out
 
 
-def scalar_value(tab: TextureTable, tex_id, u, v, p) -> jnp.ndarray:
+def scalar_value(tab: TextureTable, tex_id, u, v, p,
+                 types=None) -> jnp.ndarray:
     """MatScalar from a texture = length(rgb) (material.h:49)."""
-    c = colour_value(tab, tex_id, u, v, p)
+    c = colour_value(tab, tex_id, u, v, p, types)
     return jnp.sqrt(jnp.sum(c * c, axis=-1))

@@ -329,7 +329,8 @@ def build_scene(desc: SceneDesc) -> RenderJob:
         rects=_rect_table_from_pool(pooled_rects),
         instances=tuple(instances),
         media=tuple(media),
-        materials=shade_ops.build_table(mat_specs),
+        materials=shade_ops.build_table(
+            mat_specs, tex_ttypes=[s["type"] for s in texb.specs]),
         textures=texb.table(),
         background_tex=jnp.asarray(bg_id, jnp.int32),
     )
