@@ -144,18 +144,36 @@ def sphere_uv(outward_normal):
 
 def _sphere_attribs(rays: Rays, center, radius, mat_id, t, idx) -> Hits:
     """Hit record from a sphere find's (t, winning index): gather the
-    winner's params and recompute p/normal/uv (sphere.cpp:50-57)."""
+    winner's params and recompute p/normal/uv (sphere.cpp:50-57).
+
+    Large sphere pools pack (center, radius, mat_id) into ONE row
+    gather — separate per-lane (N,) gathers cost ~1.8 ms each at a
+    196k pool on a 486-row table while row width is free (the same
+    round-5 finding as shade's _gather_params); small pools keep the
+    per-field gathers XLA lowers to selects."""
     n = center.shape[0]
     hit = (t < BIG) & (idx >= 0)
     safe = jnp.minimum(jnp.maximum(idx, 0), n - 1)
-    c = _take(center, safe)
-    r = jnp.maximum(_take(radius, safe), 1e-20)
+    if n < 32:
+        c = _take(center, safe)
+        r = _take(radius, safe)
+        m = _take(mat_id, safe)
+    else:
+        packed = jnp.concatenate([
+            center, radius[:, None],
+            jax.lax.bitcast_convert_type(
+                mat_id.astype(jnp.int32), jnp.float32)[:, None]], axis=1)
+        rows = packed[safe]
+        c = rows[:, 0:3]
+        r = rows[:, 3]
+        m = jax.lax.bitcast_convert_type(rows[:, 4], jnp.int32)
+    r = jnp.maximum(r, 1e-20)
     p = ray_at(rays.o, rays.d, jnp.where(hit, t, 1.0))
     outward = (p - c) / r[:, None]
     normal, front = set_face_normal(rays.d, outward)
     return Hits(hit=hit, t=jnp.where(hit, t, BIG), p=p, normal=normal,
                 uv=sphere_uv(outward), front_face=front,
-                mat_id=jnp.where(hit, _take(mat_id, safe), -1))
+                mat_id=jnp.where(hit, m, -1))
 
 
 def sphere_t_mxu(rays: Rays, center, r2_minus, od, oo, a, inv_a,
