@@ -212,16 +212,19 @@ def main():
         from hobbyraytracer_tpu.core.mathx import BIG
         from hobbyraytracer_tpu.ops.intersect import coherence_key
 
+        from hobbyraytracer_tpu.ops.intersect import UNSORT_MODE
+
         @jax.jit
         def cohsort(r8):
-            # the shipped HRT_KEY_MODE-resolved key path, so this row
-            # cannot drift from shipped behavior
+            # the shipped HRT_KEY_MODE / HRT_UNSORT_MODE-resolved paths,
+            # so this row cannot drift from shipped behavior
             sk = coherence_key(r8[:, 0:3], r8[:, 3:6],
                                r8[:, 6] > 0, mesh.bounds8, float(BIG))
             perm = jnp.argsort(sk)
             r8s = r8[perm]
-            undone = jnp.zeros_like(r8s).at[perm].set(r8s)
-            return undone
+            if UNSORT_MODE == "argsort":
+                return r8s[jnp.argsort(perm)]
+            return jnp.zeros_like(r8s).at[perm].set(r8s)
 
         rows.append(("  cohsort (key+argsort+gather+undo)",
                      timeit(cohsort, rays8)))

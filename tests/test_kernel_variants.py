@@ -23,7 +23,8 @@ def _run_variant(tmp_path, name, env_overrides):
                  "HRT_BLOCK", "HRT_FORCE_STREAM", "HRT_STREAM_BLOCK",
                  "HRT_SPHERE_KERNEL", "HRT_SPHERE_BLOCK",
                  "HRT_SPHERE_MXU", "HRT_PALLAS_INTERPRET",
-                 "HRT_UNSORT_MODE"):
+                 "HRT_UNSORT_MODE", "HRT_CORRIDOR_MIN_K", "HRT_BVH_SAH",
+                 "HRT_NO_PALLAS", "HRT_NO_NATIVE"):
         env.pop(knob, None)
     env.update(env_overrides)
     r = subprocess.run([sys.executable, _WORKER, str(out)], env=env,
@@ -73,6 +74,14 @@ def _assert_matches(ref, var, name):
     ("mxu_pick", {"HRT_MXU_PICK": "1"}),
     ("key_pallas", {"HRT_KEY_MODE": "pallas"}),
     ("key_corridor", {"HRT_KEY_MODE": "corridor"}),
+    # auto mode flipped to corridor on ANY cluster count
+    ("auto_corridor_min1", {"HRT_CORRIDOR_MIN_K": "1"}),
+    # legacy median cluster build vs the SAH default
+    ("bvh_median", {"HRT_BVH_SAH": "0"}),
+    # XLA lockstep traversal instead of the Pallas kernel
+    ("no_pallas", {"HRT_NO_PALLAS": "1"}),
+    # pure-python loader/builder fallbacks instead of the C++ module
+    ("no_native", {"HRT_NO_NATIVE": "1"}),
     ("no_cohsort", {"HRT_NO_COHSORT": "1"}),
     # both unsort modes (round 5: argsort default, scatter legacy)
     ("unsort_scatter", {"HRT_UNSORT_MODE": "scatter"}),
